@@ -1,0 +1,26 @@
+"""spark_geo — a PySpark-native spatial-join + tiling engine.
+
+Re-creates the query/data-processing capabilities of pygeos (vectorized
+GEOS ufuncs: predicates, measurements, constructive ops, STRtree
+query/query_bulk/nearest_all) as Arrow-vectorized pandas UDFs over
+Spark DataFrames — no per-row Python in the hot path — and builds a
+from-scratch spatial-join + tiling pipeline on top:
+
+- geometry storage: WKB ``BinaryType`` columns (the reference's own
+  canonical serialized form — pygeos hashes/pickles via WKB,
+  reference src/pygeom.c:228-261)
+- coarse index: deterministic quad-grid cell ids (``spark_geo.kernel.cell``)
+- joins: broadcast STRtree (small right side) or two-phase
+  cell-equi-join + exact refine (large-large), see ``spark_geo.join``
+- kNN: ring-expansion nearest_all with all-ties semantics
+  (``spark_geo.knn``)
+- tiling: raster<->vector per-cell aggregation (``spark_geo.tiles``)
+- pages pipeline: geocode Common-Crawl-style pages, salting,
+  checkpoint/resume (``spark_geo.pipeline``)
+
+Everything here is built from public knowledge only: the Apache Spark
+API, the pygeos reference's *documented behavior* (cited file:line in
+docstrings), and standard computational-geometry algorithms.
+"""
+
+__version__ = "0.1.0"

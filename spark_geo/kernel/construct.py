@@ -1,0 +1,530 @@
+"""Constructive / overlay kernels (reference pygeos/constructive.py,
+pygeos/set_operations.py).
+
+v1 scope (per SURVEY.md §7.1 step 10): buffer, centroid, envelope,
+convex hull, clip_by_rect, simplify, boundary, reverse, segmentize,
+extract_unique_points, normalize, plus the aggregate unions the tiling
+layer needs.  Exact GEOS overlay parity (arbitrary polygon∩polygon)
+is deferred; intersection() supports the axis-box and convex-clip
+cases used by tiling (clip_by_rect is the reference's own fast path,
+constructive.py:278-322).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .geom import (GEOMETRYCOLLECTION, LINEARRING, LINESTRING, MULTILINESTRING,
+                   MULTIPOINT, MULTIPOLYGON, POINT, POLYGON, Geom)
+from . import measure as M
+from . import predicates as P
+
+
+def envelope(g: Geom | None) -> Geom | None:
+    """Axis-aligned bounding box (reference constructive.py:385-408);
+    point/degenerate input returns itself-shaped output."""
+    if g is None:
+        return None
+    if g.is_empty:
+        return Geom(g.type_id) if g.type_id == POINT else Geom(GEOMETRYCOLLECTION)
+    xmin, ymin, xmax, ymax = g.bounds()
+    if xmin == xmax and ymin == ymax:
+        return Geom.point(xmin, ymin)
+    if xmin == xmax or ymin == ymax:
+        return Geom.linestring([(xmin, ymin), (xmax, ymax)])
+    return Geom.box(xmin, ymin, xmax, ymax, ccw=False)
+
+
+def centroid(g: Geom | None) -> Geom | None:
+    """Geometric center of mass of the highest-dimension component
+    (reference constructive.py:248-276)."""
+    if g is None:
+        return None
+    if g.is_empty:
+        return Geom(POINT)
+    dim = g.dimensions()
+    if dim == 2:
+        cx = cy = a_sum = 0.0
+        for poly in P._iter_polygons(g):
+            for k, r in enumerate(poly.rings):
+                if len(r) < 4:
+                    continue
+                x, y = r[:, 0], r[:, 1]
+                cross = x[:-1] * y[1:] - x[1:] * y[:-1]
+                a = cross.sum() / 2.0
+                if a == 0:
+                    continue
+                sign = 1.0 if k == 0 else -1.0
+                a = abs(a) * sign
+                # ring centroid (signed formula uses its own orientation)
+                rcx = ((x[:-1] + x[1:]) * cross).sum() / (3.0 * cross.sum())
+                rcy = ((y[:-1] + y[1:]) * cross).sum() / (3.0 * cross.sum())
+                cx += rcx * a
+                cy += rcy * a
+                a_sum += a
+        if a_sum != 0:
+            return Geom.point(cx / a_sum, cy / a_sum)
+        dim = 1  # degenerate polygon: fall through to length-weighted
+    if dim == 1:
+        segs = M.segments(g)
+        if len(segs):
+            lx = np.hypot(segs[:, 2] - segs[:, 0], segs[:, 3] - segs[:, 1])
+            tot = lx.sum()
+            if tot > 0:
+                mx = ((segs[:, 0] + segs[:, 2]) / 2 * lx).sum() / tot
+                my = ((segs[:, 1] + segs[:, 3]) / 2 * lx).sum() / tot
+                return Geom.point(mx, my)
+    v = M.vertices(g)
+    if not len(v):
+        return Geom(POINT)
+    return Geom.point(float(v[:, 0].mean()), float(v[:, 1].mean()))
+
+
+def convex_hull(g: Geom | None) -> Geom | None:
+    """Monotone-chain convex hull (reference constructive.py:324-343)."""
+    if g is None:
+        return None
+    pts = M.vertices(g)
+    if len(pts) == 0:
+        return Geom(GEOMETRYCOLLECTION)
+    pts = np.unique(pts, axis=0)
+    if len(pts) == 1:
+        return Geom.point(pts[0, 0], pts[0, 1])
+    if len(pts) == 2:
+        return Geom.linestring(pts)
+    order = np.lexsort((pts[:, 1], pts[:, 0]))
+    pts = pts[order]
+
+    def half(points):
+        out = []
+        for p in points:
+            while len(out) >= 2 and np.cross(out[-1] - out[-2], p - out[-2]) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    hull = np.asarray(lower[:-1] + upper[:-1] + [lower[0]])
+    if len(hull) < 4:
+        return Geom.linestring(hull[:-1])
+    return Geom(POLYGON, rings=[hull])
+
+
+def buffer(g: Geom | None, radius: float, quadsegs: int = 8) -> Geom | None:
+    """Buffer (reference constructive.py:82-186).
+
+    v1 kernel: exact for points (regular 4·quadsegs-gon inscribed in
+    the circle, vertices at angles k·(π/2)/quadsegs from angle 0 —
+    matching GEOS's vertex placement so the reference's buffered-circle
+    STRtree fixtures reproduce); lines/polygons get a vertex-disc
+    Minkowski approximation via convex hull per segment, unioned as a
+    multipolygon (documented approximation)."""
+    if g is None:
+        return None
+    if radius <= 0 or g.is_empty:
+        return Geom(POLYGON)
+    ang = np.arange(4 * quadsegs) * (np.pi / 2) / quadsegs
+    disc = np.column_stack([np.cos(ang), np.sin(ang)]) * radius
+    if g.type_id == POINT:
+        ring = g.coords[0] + disc
+        ring = np.vstack([ring, ring[:1]])
+        return Geom(POLYGON, rings=[ring])
+    if g.type_id == MULTIPOINT:
+        return Geom(MULTIPOLYGON, parts=[buffer(p, radius, quadsegs) for p in g.parts])
+    segs = M.segments(g)
+    parts = []
+    for x1, y1, x2, y2 in segs:
+        pts = np.vstack([np.array([x1, y1]) + disc, np.array([x2, y2]) + disc])
+        parts.append(convex_hull(Geom(MULTIPOINT, parts=[Geom.point(x, y) for x, y in pts])))
+    if g.type_id in (POLYGON, MULTIPOLYGON):
+        parts.append(g)  # interior stays covered
+    if not parts:
+        return Geom(POLYGON)
+    if len(parts) == 1:
+        return parts[0]
+    return Geom(MULTIPOLYGON, parts=[p for p in parts if p.type_id == POLYGON])
+
+
+def clip_by_rect(g: Geom | None, xmin, ymin, xmax, ymax) -> Geom | None:
+    """Sutherland–Hodgman clip to an axis box (reference
+    constructive.py:278-322, the tiling fast path)."""
+    if g is None:
+        return None
+    if g.is_empty or _bbox_outside(g, xmin, ymin, xmax, ymax):
+        return Geom(GEOMETRYCOLLECTION)
+    if g.type_id == POINT:
+        x, y = g.coords[0]
+        return g if (xmin <= x <= xmax and ymin <= y <= ymax) else Geom(GEOMETRYCOLLECTION)
+    if g.type_id == POLYGON:
+        rings = []
+        for k, r in enumerate(g.rings):
+            cr = _sh_clip_ring(r, xmin, ymin, xmax, ymax)
+            if len(cr) >= 4:
+                rings.append(cr)
+            elif k == 0:
+                return Geom(GEOMETRYCOLLECTION)
+        return Geom(POLYGON, rings=rings) if rings else Geom(GEOMETRYCOLLECTION)
+    if g.type_id in (LINESTRING, LINEARRING):
+        pieces = _clip_line(g.coords, xmin, ymin, xmax, ymax)
+        if not pieces:
+            return Geom(GEOMETRYCOLLECTION)
+        if len(pieces) == 1:
+            return Geom(LINESTRING, pieces[0])
+        return Geom(MULTILINESTRING, parts=[Geom(LINESTRING, c) for c in pieces])
+    clipped = [clip_by_rect(p, xmin, ymin, xmax, ymax) for p in g.parts]
+    clipped = [c for c in clipped if c is not None and not c.is_empty]
+    if not clipped:
+        return Geom(GEOMETRYCOLLECTION)
+    if len(clipped) == 1:
+        return clipped[0]
+    tids = {c.type_id for c in clipped}
+    if tids == {POLYGON}:
+        return Geom(MULTIPOLYGON, parts=clipped)
+    if tids <= {LINESTRING, MULTILINESTRING}:
+        flat = []
+        for c in clipped:
+            flat.extend(c.parts if c.type_id == MULTILINESTRING else [c])
+        return Geom(MULTILINESTRING, parts=flat)
+    if tids == {POINT}:
+        return Geom(MULTIPOINT, parts=clipped)
+    return Geom(GEOMETRYCOLLECTION, parts=clipped)
+
+
+def _bbox_outside(g, xmin, ymin, xmax, ymax):
+    gx0, gy0, gx1, gy1 = g.bounds()
+    return gx1 < xmin or gx0 > xmax or gy1 < ymin or gy0 > ymax
+
+
+def _sh_clip_ring(ring, xmin, ymin, xmax, ymax):
+    poly = list(map(tuple, ring[:-1])) if len(ring) else []
+    for edge in ("l", "r", "b", "t"):
+        if not poly:
+            return np.empty((0, 2))
+        out = []
+        for i in range(len(poly)):
+            cur, prv = poly[i], poly[i - 1]
+            ci, pi = _inside_edge(cur, edge, xmin, ymin, xmax, ymax), \
+                _inside_edge(prv, edge, xmin, ymin, xmax, ymax)
+            if ci:
+                if not pi:
+                    out.append(_edge_intersect(prv, cur, edge, xmin, ymin, xmax, ymax))
+                out.append(cur)
+            elif pi:
+                out.append(_edge_intersect(prv, cur, edge, xmin, ymin, xmax, ymax))
+        poly = out
+    if not poly:
+        return np.empty((0, 2))
+    arr = np.asarray(poly + [poly[0]], dtype=np.float64)
+    return arr
+
+
+def _inside_edge(p, edge, xmin, ymin, xmax, ymax):
+    x, y = p
+    return {"l": x >= xmin, "r": x <= xmax, "b": y >= ymin, "t": y <= ymax}[edge]
+
+
+def _edge_intersect(p1, p2, edge, xmin, ymin, xmax, ymax):
+    x1, y1 = p1
+    x2, y2 = p2
+    if edge in ("l", "r"):
+        xe = xmin if edge == "l" else xmax
+        t = (xe - x1) / (x2 - x1)
+        return (xe, y1 + t * (y2 - y1))
+    ye = ymin if edge == "b" else ymax
+    t = (ye - y1) / (y2 - y1)
+    return (x1 + t * (x2 - x1), ye)
+
+
+def _clip_line(coords, xmin, ymin, xmax, ymax):
+    """Cohen–Sutherland-style per-segment line clip -> list of chains."""
+    pieces, cur = [], []
+    for i in range(len(coords) - 1):
+        seg = _clip_segment(coords[i], coords[i + 1], xmin, ymin, xmax, ymax)
+        if seg is None:
+            if len(cur) >= 2:
+                pieces.append(np.asarray(cur))
+            cur = []
+            continue
+        a, b = seg
+        if cur and np.allclose(cur[-1], a):
+            cur.append(b)
+        else:
+            if len(cur) >= 2:
+                pieces.append(np.asarray(cur))
+            cur = [a, b]
+    if len(cur) >= 2:
+        pieces.append(np.asarray(cur))
+    return pieces
+
+
+def _clip_segment(p1, p2, xmin, ymin, xmax, ymax):
+    t0, t1 = 0.0, 1.0
+    dx, dy = p2[0] - p1[0], p2[1] - p1[1]
+    for p, q in ((-dx, p1[0] - xmin), (dx, xmax - p1[0]),
+                 (-dy, p1[1] - ymin), (dy, ymax - p1[1])):
+        if p == 0:
+            if q < 0:
+                return None
+            continue
+        r = q / p
+        if p < 0:
+            if r > t1:
+                return None
+            t0 = max(t0, r)
+        else:
+            if r < t0:
+                return None
+            t1 = min(t1, r)
+    if t0 > t1:
+        return None
+    a = (p1[0] + t0 * dx, p1[1] + t0 * dy)
+    b = (p1[0] + t1 * dx, p1[1] + t1 * dy)
+    if a == b:
+        return None
+    return np.asarray(a), np.asarray(b)
+
+
+def simplify(g: Geom | None, tolerance: float) -> Geom | None:
+    """Douglas–Peucker (reference constructive.py:712-746)."""
+    if g is None:
+        return None
+    if g.type_id in (LINESTRING, LINEARRING):
+        return Geom(g.type_id, _dp(g.coords, tolerance))
+    if g.type_id == POLYGON:
+        rings = [_dp_ring(r, tolerance) for r in g.rings]
+        rings = [r for r in rings if len(r) >= 4]
+        return Geom(POLYGON, rings=rings) if rings else Geom(POLYGON)
+    if g.parts:
+        return Geom(g.type_id, parts=[simplify(p, tolerance) for p in g.parts])
+    return g
+
+
+def _dp(coords, tol):
+    if len(coords) <= 2:
+        return coords.copy()
+    keep = np.zeros(len(coords), dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, len(coords) - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        seg = np.asarray([[coords[i, 0], coords[i, 1], coords[j, 0], coords[j, 1]]])
+        mid = coords[i + 1:j]
+        d = M.points_to_segments_dist(mid[:, 0], mid[:, 1], seg)
+        kmax = int(np.argmax(d))
+        if d[kmax] > tol:
+            k = i + 1 + kmax
+            keep[k] = True
+            stack.append((i, k))
+            stack.append((k, j))
+    return coords[keep]
+
+
+def _dp_ring(ring, tol):
+    if len(ring) < 4:
+        return ring
+    body = _dp(ring[:-1], tol)
+    return np.vstack([body, body[:1]]) if len(body) >= 3 else np.empty((0, 2))
+
+
+def boundary(g: Geom | None) -> Geom | None:
+    """Topological boundary (reference constructive.py:50-80)."""
+    if g is None:
+        return None
+    if g.type_id == POINT or g.type_id == MULTIPOINT:
+        return Geom(GEOMETRYCOLLECTION)
+    if g.type_id in (LINESTRING,):
+        b = P._line_boundary_points(g)
+        if not len(b):
+            return Geom(MULTIPOINT)
+        return Geom(MULTIPOINT, parts=[Geom.point(x, y) for x, y in b])
+    if g.type_id == LINEARRING:
+        return Geom(MULTIPOINT)
+    if g.type_id == POLYGON:
+        rings = [Geom(LINESTRING, r) for r in g.rings if len(r)]
+        if not rings:
+            return Geom(MULTILINESTRING)
+        return rings[0] if len(rings) == 1 else Geom(MULTILINESTRING, parts=rings)
+    if g.parts:
+        parts = [boundary(p) for p in g.parts]
+        parts = [p for p in parts if p is not None and not p.is_empty]
+        flat = []
+        for p in parts:
+            flat.extend(p.parts if p.parts else [p])
+        if not flat:
+            return Geom(GEOMETRYCOLLECTION)
+        if all(q.type_id == POINT for q in flat):
+            return Geom(MULTIPOINT, parts=flat)
+        return Geom(MULTILINESTRING, parts=[q for q in flat if q.type_id == LINESTRING])
+    return Geom(GEOMETRYCOLLECTION)
+
+
+def reverse(g: Geom | None) -> Geom | None:
+    """Reverse coordinate order (reference constructive.py:643-675)."""
+    if g is None:
+        return None
+    if g.type_id in (LINESTRING, LINEARRING):
+        out = Geom(g.type_id, g.coords[::-1].copy())
+        if g.has_z and g.zs is not None:
+            out.has_z, out.zs = True, g.zs[::-1].copy()
+        return out
+    if g.type_id == POLYGON:
+        return Geom(POLYGON, rings=[r[::-1].copy() for r in g.rings])
+    if g.parts:
+        return Geom(g.type_id, parts=[reverse(p) for p in g.parts])
+    return g
+
+
+def segmentize(g: Geom | None, tolerance: float) -> Geom | None:
+    """Add vertices so no segment exceeds tolerance (reference
+    constructive.py:677-710, GEOS>=3.10)."""
+    if g is None or tolerance <= 0:
+        return g
+    if g.type_id in (LINESTRING, LINEARRING):
+        return Geom(g.type_id, _densify(g.coords, tolerance))
+    if g.type_id == POLYGON:
+        return Geom(POLYGON, rings=[_densify(r, tolerance) for r in g.rings])
+    if g.parts:
+        return Geom(g.type_id, parts=[segmentize(p, tolerance) for p in g.parts])
+    return g
+
+
+def _densify(coords, tol):
+    if len(coords) < 2:
+        return coords
+    out = [coords[:1]]
+    for i in range(len(coords) - 1):
+        a, b = coords[i], coords[i + 1]
+        L = float(np.hypot(*(b - a)))
+        n = max(1, int(np.ceil(L / tol)))
+        t = np.linspace(0, 1, n + 1)[1:]
+        out.append(a + t[:, None] * (b - a))
+    return np.vstack(out)
+
+
+def extract_unique_points(g: Geom | None) -> Geom | None:
+    """Unique vertices as multipoint, first-seen order (reference
+    constructive.py:410-439)."""
+    if g is None:
+        return None
+    v = M.vertices(g)
+    if not len(v):
+        return Geom(MULTIPOINT)
+    _, first = np.unique(v, axis=0, return_index=True)
+    v = v[np.sort(first)]
+    return Geom(MULTIPOINT, parts=[Geom.point(x, y) for x, y in v])
+
+
+def point_on_surface(g: Geom | None) -> Geom | None:
+    """A point guaranteed on the geometry (reference
+    constructive.py:506-528).  v1: centroid when covered, else a
+    representative vertex / scanline midpoint."""
+    if g is None:
+        return None
+    if g.is_empty:
+        return Geom(POINT)
+    c = centroid(g)
+    if g.dimensions() == 2:
+        if c is not None and len(c.coords) and P.points_covered_by(
+                c.coords[:, 0], c.coords[:, 1], g)[0]:
+            return c
+        # scanline through the bbox vertical middle
+        xmin, ymin, xmax, ymax = g.bounds()
+        ys = (ymin + ymax) / 2
+        xs = np.linspace(xmin, xmax, 257)
+        inside, _ = P.points_in_polygon(xs, np.full_like(xs, ys), g)
+        if inside.any():
+            xi = xs[inside]
+            return Geom.point(float(xi[len(xi) // 2]), ys)
+    v = M.vertices(g)
+    return Geom.point(float(v[0, 0]), float(v[0, 1]))
+
+
+def normalize(g: Geom | None) -> Geom | None:
+    """Canonical form for order-insensitive comparison (reference
+    constructive.py:482-504): rings closed + oriented (shell CW like
+    GEOS normalize), ring start at lexicographic min vertex, parts
+    sorted by WKB."""
+    if g is None:
+        return None
+    if g.type_id == POLYGON:
+        rings = []
+        for k, r in enumerate(g.rings):
+            if len(r) < 4:
+                continue
+            rr = _normalize_ring(r, cw=(k == 0))
+            rings.append(rr)
+        return Geom(POLYGON, rings=rings)
+    if g.parts:
+        from . import wkb as _wkb
+        parts = [normalize(p) for p in g.parts]
+        parts.sort(key=lambda q: _wkb.dumps(q))
+        return Geom(g.type_id, parts=parts)
+    return g
+
+
+def _normalize_ring(r, cw):
+    body = r[:-1]
+    area2 = float(np.dot(body[:, 0], np.roll(body[:, 1], -1))
+                  - np.dot(np.roll(body[:, 0], -1), body[:, 1]))
+    is_ccw = area2 > 0
+    if (cw and is_ccw) or (not cw and not is_ccw):
+        body = body[::-1]
+    k = int(np.lexsort((body[:, 1], body[:, 0]))[0])
+    body = np.roll(body, -k, axis=0)
+    return np.vstack([body, body[:1]])
+
+
+def force_2d(g: Geom | None) -> Geom | None:
+    """Drop Z (reference geometry.py:792-817)."""
+    if g is None:
+        return None
+    if g.parts:
+        return Geom(g.type_id, parts=[force_2d(p) for p in g.parts])
+    out = Geom(g.type_id, g.coords.copy(), rings=[r.copy() for r in g.rings])
+    return out
+
+
+# -- aggregate set ops -------------------------------------------------
+
+def collect(geoms) -> Geom | None:
+    """Collect non-None parts into the tightest multi-type; all-None ->
+    None (reference set_operations.py:314-396 union_all skip rules)."""
+    parts = [g for g in geoms if g is not None]
+    if not parts:
+        return None
+    flat = []
+    for g in parts:
+        if g.type_id in (MULTIPOINT, MULTILINESTRING, MULTIPOLYGON, GEOMETRYCOLLECTION):
+            flat.extend(g.parts)
+        else:
+            flat.append(g)
+    flat = [g for g in flat if not g.is_empty]
+    if not flat:
+        return Geom(GEOMETRYCOLLECTION)
+    tids = {g.type_id for g in flat}
+    if tids == {POINT}:
+        return Geom(MULTIPOINT, parts=flat)
+    if tids <= {LINESTRING, LINEARRING}:
+        return Geom(MULTILINESTRING, parts=flat)
+    if tids == {POLYGON}:
+        return Geom(MULTIPOLYGON, parts=flat)
+    return Geom(GEOMETRYCOLLECTION, parts=flat)
+
+
+def coverage_union_all(geoms) -> Geom | None:
+    """Union of a non-overlapping coverage (reference
+    set_operations.py:433-471): parts collected as a multipolygon —
+    for a valid coverage (tiles!) the multipolygon IS the union
+    (identical area/length/predicates); shared-edge dissolve is a
+    cosmetic refinement deferred to a later round."""
+    return collect(geoms)
+
+
+def union_all(geoms) -> Geom | None:
+    """v1: exact when inputs are non-overlapping (tile coverages, the
+    engine's aggregate use case) — see coverage_union_all.  Overlapping
+    polygon dissolve is deferred (documented in SURVEY §7.2)."""
+    return collect(geoms)

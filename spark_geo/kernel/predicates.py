@@ -1,0 +1,451 @@
+"""Spatial predicate kernels (vectorized NumPy).
+
+Semantics follow the reference's DE-9IM-documented behavior
+(pygeos/predicates.py): any None operand -> False
+(predicates.py:156-158); contains = interior of B intersects interior
+of A and B within A (predicates.py:470-519); touches = only boundaries
+shared (predicates.py:822-860); etc.  The point-in-polygon test is
+even-odd ray casting (the north-star's named refine kernel), with the
+boundary handled explicitly so contains (interior-only) and covers
+(interior+boundary) diverge correctly.
+
+The hot vectorized entry points — ``points_in_polygon``,
+``points_covered_by``, ``any_segments_intersect`` — take whole NumPy
+arrays; the scalar geom×geom predicates are used for the (small,
+broadcast) polygon-layer side and for parity tests against the
+reference's pytest tables.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .geom import (GEOMETRYCOLLECTION, LINEARRING, LINESTRING, MULTILINESTRING,
+                   MULTIPOINT, MULTIPOLYGON, POINT, POLYGON, Geom)
+from . import measure as M
+
+_EPS = 1e-12
+
+_POLYGONAL = (POLYGON, MULTIPOLYGON)
+_LINEAL = (LINESTRING, LINEARRING, MULTILINESTRING)
+_PUNTAL = (POINT, MULTIPOINT)
+
+
+# ---------------------------------------------------------------------------
+# vectorized point-in-polygon (ray casting)
+# ---------------------------------------------------------------------------
+
+def _ring_even_odd(px, py, ring):
+    """Even-odd crossing test for P points against one ring -> bool (P,)."""
+    if len(ring) < 4:
+        return np.zeros(len(px), dtype=bool)
+    x1, y1 = ring[:-1, 0][None, :], ring[:-1, 1][None, :]
+    x2, y2 = ring[1:, 0][None, :], ring[1:, 1][None, :]
+    pxc, pyc = np.asarray(px)[:, None], np.asarray(py)[:, None]
+    cond = (y1 > pyc) != (y2 > pyc)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = x1 + (pyc - y1) * (x2 - x1) / (y2 - y1)
+        crossing = cond & (pxc < xint)
+    return (crossing.sum(axis=1) % 2).astype(bool)
+
+
+def _ring_segs(ring):
+    return np.hstack([ring[:-1], ring[1:]])
+
+
+def points_on_boundary(px, py, g: Geom) -> np.ndarray:
+    segs = M.segments(g)
+    if not len(segs):
+        return np.zeros(len(px), dtype=bool)
+    return M.points_to_segments_dist(px, py, segs) <= _EPS
+
+
+def points_in_polygon(px, py, g: Geom):
+    """-> (strict_inside, on_boundary) bool arrays for a POLYGON /
+    MULTIPOLYGON / collection-of-polygons geometry."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    n = len(px)
+    inside = np.zeros(n, dtype=bool)
+    boundary = np.zeros(n, dtype=bool)
+    for poly in _iter_polygons(g):
+        if not poly.rings or len(poly.rings[0]) < 4:
+            continue
+        in_shell = _ring_even_odd(px, py, poly.rings[0])
+        on_b = M.points_to_segments_dist(px, py, _ring_segs(poly.rings[0])) <= _EPS
+        in_holes = np.zeros(n, dtype=bool)
+        for hole in poly.rings[1:]:
+            if len(hole) < 4:
+                continue
+            hb = M.points_to_segments_dist(px, py, _ring_segs(hole)) <= _EPS
+            on_b |= hb & (in_shell | on_b)
+            in_holes |= _ring_even_odd(px, py, hole) & ~hb
+        inside |= in_shell & ~in_holes & ~on_b
+        boundary |= on_b
+    boundary &= ~inside
+    return inside, boundary
+
+
+def points_covered_by(px, py, g: Geom) -> np.ndarray:
+    """inside-or-on-boundary for polygonal g -> bool (P,)."""
+    inside, boundary = points_in_polygon(px, py, g)
+    return inside | boundary
+
+
+def _iter_polygons(g: Geom):
+    if g is None:
+        return
+    if g.type_id == POLYGON:
+        yield g
+    elif g.type_id in (MULTIPOLYGON, GEOMETRYCOLLECTION):
+        for p in g.parts:
+            yield from _iter_polygons(p)
+
+
+# ---------------------------------------------------------------------------
+# segment ✕ segment intersection (vectorized M×N)
+# ---------------------------------------------------------------------------
+
+def _seg_cross_matrix(A, B):
+    """Pairwise segment intersection masks for A (M,4) × B (N,4).
+
+    Returns (any_touch (M,N), proper (M,N)): any_touch includes
+    endpoint/collinear contact; proper = interiors cross at a point."""
+    ax1, ay1, ax2, ay2 = (A[:, i][:, None] for i in range(4))
+    bx1, by1, bx2, by2 = (B[:, i][None, :] for i in range(4))
+
+    d1 = (bx2 - bx1) * (ay1 - by1) - (by2 - by1) * (ax1 - bx1)
+    d2 = (bx2 - bx1) * (ay2 - by1) - (by2 - by1) * (ax2 - bx1)
+    d3 = (ax2 - ax1) * (by1 - ay1) - (ay2 - ay1) * (bx1 - ax1)
+    d4 = (ax2 - ax1) * (by2 - ay1) - (ay2 - ay1) * (bx2 - ax1)
+
+    proper = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0)) \
+        & (np.abs(d1) > _EPS) & (np.abs(d2) > _EPS) \
+        & (np.abs(d3) > _EPS) & (np.abs(d4) > _EPS)
+
+    def on_seg(d, px, py, x1, y1, x2, y2):
+        return (np.abs(d) <= _EPS) & (px >= np.minimum(x1, x2) - _EPS) \
+            & (px <= np.maximum(x1, x2) + _EPS) \
+            & (py >= np.minimum(y1, y2) - _EPS) & (py <= np.maximum(y1, y2) + _EPS)
+
+    touch = proper.copy()
+    touch |= on_seg(d1, ax1, ay1, bx1, by1, bx2, by2)
+    touch |= on_seg(d2, ax2, ay2, bx1, by1, bx2, by2)
+    touch |= on_seg(d3, bx1, by1, ax1, ay1, ax2, ay2)
+    touch |= on_seg(d4, bx2, by2, ax1, ay1, ax2, ay2)
+    # general non-collinear endpoint-free crossing with sign change
+    straddle = ((d1 > _EPS) & (d2 < -_EPS) | (d1 < -_EPS) & (d2 > _EPS)) & \
+               ((d3 > _EPS) & (d4 < -_EPS) | (d3 < -_EPS) & (d4 > _EPS))
+    touch |= straddle
+    return touch, proper
+
+
+def any_segments_intersect(A, B) -> bool:
+    if not len(A) or not len(B):
+        return False
+    touch, _ = _seg_cross_matrix(np.asarray(A, float), np.asarray(B, float))
+    return bool(touch.any())
+
+
+def _proper_crossing(A, B) -> bool:
+    if not len(A) or not len(B):
+        return False
+    _, proper = _seg_cross_matrix(np.asarray(A, float), np.asarray(B, float))
+    return bool(proper.any())
+
+
+# ---------------------------------------------------------------------------
+# scalar geometry ✕ geometry predicates
+# ---------------------------------------------------------------------------
+
+def _bbox_disjoint(a: Geom, b: Geom, pad: float = 0.0) -> bool:
+    ax0, ay0, ax1, ay1 = a.bounds()
+    bx0, by0, bx1, by1 = b.bounds()
+    if np.isnan(ax0) or np.isnan(bx0):
+        return True
+    return ax1 + pad < bx0 or bx1 + pad < ax0 or ay1 + pad < by0 or by1 + pad < ay0
+
+
+def _point_coords(g: Geom) -> np.ndarray:
+    """Coordinates of isolated points (puntal parts only)."""
+    if g.type_id == POINT:
+        return g.coords
+    if g.type_id == MULTIPOINT:
+        arrs = [p.coords for p in g.parts if len(p.coords)]
+        return np.vstack(arrs) if arrs else np.empty((0, 2))
+    if g.type_id == GEOMETRYCOLLECTION:
+        arrs = [_point_coords(p) for p in g.parts]
+        arrs = [a for a in arrs if len(a)]
+        return np.vstack(arrs) if arrs else np.empty((0, 2))
+    return np.empty((0, 2))
+
+
+def _is_polygonal(g):
+    return g.type_id in _POLYGONAL or (
+        g.type_id == GEOMETRYCOLLECTION and any(_is_polygonal(p) for p in g.parts))
+
+
+def _sample_points(g: Geom) -> np.ndarray:
+    """Vertices + segment midpoints — the covered/interior sampling set."""
+    v = M.vertices(g)
+    segs = M.segments(g)
+    if len(segs):
+        mids = np.column_stack([(segs[:, 0] + segs[:, 2]) / 2,
+                                (segs[:, 1] + segs[:, 3]) / 2])
+        return np.vstack([v, mids])
+    return v
+
+
+def _points_covered(pts: np.ndarray, g: Geom) -> np.ndarray:
+    """Is each point in pts within g (interior or boundary)?"""
+    n = len(pts)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    out = np.zeros(n, dtype=bool)
+    if _is_polygonal(g):
+        out |= points_covered_by(pts[:, 0], pts[:, 1], g)
+    segs = M.segments(g)
+    if len(segs) and not _is_polygonal(g):
+        out |= M.points_to_segments_dist(pts[:, 0], pts[:, 1], segs) <= _EPS
+    gp = _point_coords(g)
+    if len(gp):
+        d = np.hypot(pts[:, None, 0] - gp[None, :, 0], pts[:, None, 1] - gp[None, :, 1])
+        out |= (d <= _EPS).any(axis=1)
+    return out
+
+
+def _points_in_interior(pts: np.ndarray, g: Geom) -> np.ndarray:
+    """Is each point strictly in g's interior?  Interior of a line is
+    the line minus its endpoints; interior of a point is the point."""
+    n = len(pts)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    out = np.zeros(n, dtype=bool)
+    if _is_polygonal(g):
+        inside, _ = points_in_polygon(pts[:, 0], pts[:, 1], g)
+        out |= inside
+    elif g.type_id in _LINEAL or (g.type_id == GEOMETRYCOLLECTION and M.segments(g).size):
+        segs = M.segments(g)
+        if len(segs):
+            on_line = M.points_to_segments_dist(pts[:, 0], pts[:, 1], segs) <= _EPS
+            bpts = _line_boundary_points(g)
+            if len(bpts):
+                d = np.hypot(pts[:, None, 0] - bpts[None, :, 0],
+                             pts[:, None, 1] - bpts[None, :, 1])
+                on_line &= ~(d <= _EPS).any(axis=1)
+            out |= on_line
+    gp = _point_coords(g)
+    if len(gp):
+        d = np.hypot(pts[:, None, 0] - gp[None, :, 0], pts[:, None, 1] - gp[None, :, 1])
+        out |= (d <= _EPS).any(axis=1)
+    return out
+
+
+def _line_boundary_points(g: Geom) -> np.ndarray:
+    """Boundary of lineal g = endpoints of non-closed linestrings."""
+    out = []
+    def walk(q):
+        if q.type_id == LINESTRING and len(q.coords) >= 2:
+            if not np.array_equal(q.coords[0], q.coords[-1]):
+                out.append(q.coords[0])
+                out.append(q.coords[-1])
+        elif q.type_id == LINEARRING:
+            pass  # closed: empty boundary
+        else:
+            for p in q.parts:
+                walk(p)
+    walk(g)
+    return np.asarray(out, dtype=np.float64).reshape(-1, 2)
+
+
+def intersects(a: Geom | None, b: Geom | None) -> bool:
+    """Share any space (reference predicates.py:735-766); None -> False."""
+    if a is None or b is None or a.is_empty or b.is_empty:
+        return False
+    if _bbox_disjoint(a, b):
+        return False
+    va = _sample_points(a)
+    vb = _sample_points(b)
+    if len(va) and _points_covered(va, b).any():
+        return True
+    if len(vb) and _points_covered(vb, a).any():
+        return True
+    if any_segments_intersect(M.segments(a), M.segments(b)):
+        return True
+    return False
+
+
+def disjoint(a, b) -> bool:
+    """¬intersects, but None operands are NOT disjoint (False) —
+    reference predicates.py:662-701 doctests."""
+    if a is None or b is None:
+        return False
+    if a.is_empty or b.is_empty:
+        return True
+    return not intersects(a, b)
+
+
+def covers(a: Geom | None, b: Geom | None) -> bool:
+    """No point of b outside a (reference predicates.py:617-660).
+
+    Sampling approach: all vertices and segment midpoints of b must be
+    covered by a, and b's segments must not properly cross a's
+    boundary.  Exact for convex / grid fixtures; documented
+    approximation for adversarial concave inputs."""
+    if a is None or b is None or a.is_empty or b.is_empty:
+        return False
+    pts = _sample_points(b)
+    if not len(pts) or not _points_covered(pts, a).all():
+        return False
+    if _is_polygonal(a) and _proper_crossing(M.segments(b), M.segments(a)):
+        return False
+    return True
+
+
+def covered_by(a, b) -> bool:
+    return covers(b, a)
+
+
+def _interiors_intersect(a: Geom, b: Geom) -> bool:
+    dim_a, dim_b = a.dimensions(), b.dimensions()
+    # polygon ✕ polygon: strict-interior sample point, or proper boundary cross
+    if dim_a == 2 and dim_b == 2:
+        if _proper_crossing(M.segments(a), M.segments(b)):
+            return True
+        pa, pb = _sample_points(a), _sample_points(b)
+        ia = _points_in_interior(pa, b) if len(pa) else np.zeros(0, bool)
+        ib = _points_in_interior(pb, a) if len(pb) else np.zeros(0, bool)
+        if ia.any() or ib.any():
+            return True
+        # identical boxes: midpoint of centroid region
+        ca = pa.mean(axis=0, keepdims=True) if len(pa) else pa
+        return bool(len(ca) and _points_in_interior(ca, a).any()
+                    and _points_in_interior(ca, b).any())
+    if dim_a < dim_b:
+        a, b = b, a
+        dim_a, dim_b = dim_b, dim_a
+    # now dim_a >= dim_b
+    if dim_b == 0:  # point interior inside a's interior
+        pts = _point_coords(b)
+        return bool(len(pts) and _points_in_interior(pts, a).any())
+    if dim_a == 2 and dim_b == 1:  # line through polygon interior
+        pts = _sample_points(b)
+        if len(pts) and _points_in_interior(pts, a).any():
+            return True
+        return _proper_crossing(M.segments(b), M.segments(a))
+    # line ✕ line
+    sa, sb = M.segments(a), M.segments(b)
+    if _proper_crossing(sa, sb):
+        return True
+    # collinear overlap or interior touching at non-boundary point:
+    pts = _sample_points(b)
+    ia = _points_in_interior(pts, a) if len(pts) else np.zeros(0, bool)
+    ib = _points_in_interior(pts, b) if len(pts) else np.zeros(0, bool)
+    return bool((ia & ib).any())
+
+
+def contains(a, b) -> bool:
+    """b within a with interior intersection (reference
+    predicates.py:470-519: 'B is completely inside A' and boundaries
+    may touch but a boundary-only point does not qualify)."""
+    if a is None or b is None or a.is_empty or b.is_empty:
+        return False
+    return covers(a, b) and _interiors_intersect(a, b)
+
+
+def within(a, b) -> bool:
+    """= contains(b, a) (reference predicates.py:862-909)."""
+    return contains(b, a)
+
+
+def contains_properly(a, b) -> bool:
+    """contains with no boundary contact (reference predicates.py:523-570,
+    prepared-only GEOSPreparedContainsProperly)."""
+    if a is None or b is None or a.is_empty or b.is_empty:
+        return False
+    pts = _sample_points(b)
+    if not len(pts):
+        return False
+    if not _points_in_interior(pts, a).all():
+        return False
+    return not _proper_crossing(M.segments(b), M.segments(a))
+
+
+def touches(a, b) -> bool:
+    """Share boundaries only (reference predicates.py:822-860)."""
+    if a is None or b is None or a.is_empty or b.is_empty:
+        return False
+    return intersects(a, b) and not _interiors_intersect(a, b)
+
+
+def crosses(a, b) -> bool:
+    """Interiors intersect with lower-dimensional intersection
+    (reference predicates.py:420-468)."""
+    if a is None or b is None or a.is_empty or b.is_empty:
+        return False
+    dim_a, dim_b = a.dimensions(), b.dimensions()
+    if not _interiors_intersect(a, b):
+        return False
+    if dim_a == dim_b == 1:
+        # line/line: must cross at points, not overlap along a segment
+        if covers(a, b) or covers(b, a):
+            return False
+        return _proper_crossing(M.segments(a), M.segments(b))
+    if dim_a == dim_b:
+        return False  # equal non-line dims never cross
+    lo, hi = (a, b) if dim_a < dim_b else (b, a)
+    # lower-dim geom must not be fully covered (some of it outside)
+    return not covers(hi, lo)
+
+
+def overlaps(a, b) -> bool:
+    """Same-dimension partial overlap (reference predicates.py:768-820)."""
+    if a is None or b is None or a.is_empty or b.is_empty:
+        return False
+    if a.dimensions() != b.dimensions():
+        return False
+    if not _interiors_intersect(a, b):
+        return False
+    if a.dimensions() == 1:
+        # overlap must be 1-dimensional: collinear shared length
+        pts = _sample_points(b)
+        shared = _points_in_interior(pts, a) & _points_in_interior(pts, b)
+        if not shared.any():
+            return False
+    return not covers(a, b) and not covers(b, a)
+
+
+def equals(a, b) -> bool:
+    """Topological equality (reference predicates.py:703-733)."""
+    if a is None or b is None:
+        return False
+    if a.is_empty and b.is_empty:
+        return True
+    if a.is_empty or b.is_empty:
+        return False
+    return covers(a, b) and covers(b, a)
+
+
+def equals_exact(a, b, tolerance: float = 0.0) -> bool:
+    """Structural equality with tolerance (reference
+    predicates.py:910-951, src/ufuncs.c:1560)."""
+    if a is None or b is None:
+        return False
+    if a.type_id != b.type_id:
+        return False
+    ca, cb = M.vertices(a), M.vertices(b)
+    if ca.shape != cb.shape:
+        return False
+    if len(ca) == 0:
+        return True
+    return bool(np.all(np.abs(ca - cb) <= tolerance))
+
+
+def dwithin(a, b, distance: float) -> bool:
+    """Within given distance (reference predicates.py:1009-1052);
+    None/empty -> False like other predicates."""
+    if a is None or b is None or a.is_empty or b.is_empty:
+        return False
+    if _bbox_disjoint(a, b, pad=distance):
+        return False
+    return bool(M.distance(a, b) <= distance)

@@ -1,0 +1,170 @@
+"""Predicate/measurement kernel tests.
+
+Ports the reference's documented truth tables: the canonical
+point_polygon_testdata — points (i, i) i=0..5 vs box(2,2,4,4)
+(reference pygeos/tests/common.py:9-12) — plus the None/empty rules
+(predicates.py:156-158, measurement.py:35-70)."""
+
+import numpy as np
+import pytest
+
+from spark_geo.kernel import measure as M
+from spark_geo.kernel import predicates as P
+from spark_geo.kernel import wkt
+from spark_geo.kernel.geom import Geom
+
+BOX = Geom.box(2, 2, 4, 4)
+POINTS = [Geom.point(i, i) for i in range(6)]
+
+
+def test_point_polygon_contains():
+    # box(2,2,4,4) contains point (3,3) only: (2,2)/(4,4) on boundary
+    got = [P.contains(BOX, p) for p in POINTS]
+    assert got == [False, False, False, True, False, False]
+
+
+def test_point_polygon_intersects():
+    # boundary points DO intersect
+    got = [P.intersects(BOX, p) for p in POINTS]
+    assert got == [False, False, True, True, True, False]
+
+
+def test_point_polygon_covers():
+    got = [P.covers(BOX, p) for p in POINTS]
+    assert got == [False, False, True, True, True, False]
+
+
+def test_within_is_contains_swapped():
+    assert P.within(Geom.point(3, 3), BOX)
+    assert not P.within(Geom.point(2, 2), BOX)
+
+
+def test_contains_properly():
+    assert P.contains_properly(BOX, Geom.point(3, 3))
+    assert not P.contains_properly(BOX, Geom.point(2, 2))
+    inner = Geom.box(2.5, 2.5, 3.5, 3.5)
+    shared_edge = Geom.box(2, 2.5, 3, 3.5)
+    assert P.contains_properly(BOX, inner)
+    assert P.contains(BOX, shared_edge)
+    assert not P.contains_properly(BOX, shared_edge)
+
+
+def test_none_rule_everywhere():
+    # any None operand -> False (reference predicates.py:156-158)
+    for fn in (P.intersects, P.contains, P.within, P.touches, P.overlaps,
+               P.crosses, P.covers, P.covered_by, P.equals):
+        assert fn(None, BOX) is False
+        assert fn(BOX, None) is False
+    assert P.disjoint(None, BOX) is False  # None never disjoint
+    assert P.dwithin(None, BOX, 10.0) is False
+
+
+def test_touches():
+    assert P.touches(BOX, Geom.point(2, 2))
+    assert P.touches(BOX, Geom.box(4, 2, 6, 4))  # shared edge
+    assert not P.touches(BOX, Geom.point(3, 3))
+    assert not P.touches(BOX, Geom.box(3, 3, 5, 5))  # overlapping
+
+
+def test_overlaps():
+    assert P.overlaps(BOX, Geom.box(3, 3, 5, 5))
+    assert not P.overlaps(BOX, Geom.box(4, 4, 6, 6))  # corner touch
+    assert not P.overlaps(BOX, Geom.box(2.5, 2.5, 3.5, 3.5))  # contained
+    assert not P.overlaps(BOX, Geom.point(3, 3))  # dim mismatch
+
+
+def test_crosses():
+    line = Geom.linestring([(0, 3), (6, 3)])
+    assert P.crosses(line, BOX)
+    inside_line = Geom.linestring([(2.5, 3), (3.5, 3)])
+    assert not P.crosses(inside_line, BOX)
+    l1 = Geom.linestring([(0, 0), (2, 2)])
+    l2 = Geom.linestring([(0, 2), (2, 0)])
+    assert P.crosses(l1, l2)
+    collinear = Geom.linestring([(1, 1), (3, 3)])
+    assert not P.crosses(l1, collinear)
+
+
+def test_equals():
+    assert P.equals(BOX, Geom.box(2, 2, 4, 4, ccw=False))
+    # different vertex order/orientation, same shape
+    rot = wkt.from_wkt("POLYGON ((4 2, 4 4, 2 4, 2 2, 4 2))")
+    assert P.equals(BOX, rot)
+    assert not P.equals(BOX, Geom.box(2, 2, 4, 4.5))
+
+
+def test_equals_exact():
+    assert P.equals_exact(Geom.point(1, 1), Geom.point(1, 1))
+    assert not P.equals_exact(Geom.point(1, 1), Geom.point(1, 1.05))
+    assert P.equals_exact(Geom.point(1, 1), Geom.point(1, 1.05), tolerance=0.1)
+
+
+def test_dwithin():
+    assert P.dwithin(Geom.point(0, 0), Geom.point(3, 4), 5.0)
+    assert not P.dwithin(Geom.point(0, 0), Geom.point(3, 4), 4.999)
+    assert P.dwithin(Geom.point(0.5, 0.5), Geom.point(0, 0), 1.0)
+
+
+def test_polygon_with_hole():
+    poly = wkt.from_wkt(
+        "POLYGON ((0 0, 0 10, 10 10, 10 0, 0 0), (2 2, 2 4, 4 4, 4 2, 2 2))")
+    assert P.contains(poly, Geom.point(1, 1))
+    assert not P.contains(poly, Geom.point(3, 3))  # inside the hole
+    assert P.touches(poly, Geom.point(2, 2))  # on hole boundary
+    assert not P.intersects(poly, Geom.point(3, 3))
+
+
+def test_line_predicates():
+    seg = Geom.linestring([(0, 0), (1, 1)])
+    assert P.intersects(seg, Geom.point(0.5, 0.5))
+    assert P.touches(seg, Geom.point(0, 0))  # endpoint = boundary
+    assert not P.touches(seg, Geom.point(0.5, 0.5))  # interior
+    assert P.covers(seg, Geom.linestring([(0.25, 0.25), (0.5, 0.5)]))
+
+
+# -- measurement --------------------------------------------------------
+
+def test_area():
+    assert M.area(BOX) == 4.0
+    hole = wkt.from_wkt(
+        "POLYGON ((0 0, 0 10, 10 10, 10 0, 0 0), (2 2, 2 4, 4 4, 4 2, 2 2))")
+    assert M.area(hole) == 96.0
+    assert M.area(Geom.point(1, 1)) == 0.0
+    assert np.isnan(M.area(None))
+    assert M.area(wkt.from_wkt("POLYGON EMPTY")) == 0.0
+
+
+def test_length():
+    assert M.length(wkt.from_wkt("LINESTRING (0 0, 1 0, 1 1)")) == 2.0
+    assert M.length(BOX) == 8.0
+    assert np.isnan(M.length(None))
+
+
+def test_bounds():
+    assert wkt.from_wkt("LINESTRING (0 0, 1 0, 1 1)").bounds() == (0, 0, 1, 1)
+    assert all(np.isnan(v) for v in wkt.from_wkt("POINT EMPTY").bounds())
+
+
+def test_distance():
+    assert M.distance(Geom.point(0, 0), Geom.point(3, 4)) == 5.0
+    assert M.distance(Geom.point(3, 3), BOX) == 0.0  # inside
+    assert M.distance(Geom.point(5, 3), BOX) == 1.0
+    assert np.isnan(M.distance(None, BOX))
+    assert np.isnan(M.distance(wkt.from_wkt("POINT EMPTY"), BOX))
+    l1 = Geom.linestring([(0, 0), (0, 1)])
+    l2 = Geom.linestring([(2, 0), (2, 1)])
+    assert M.distance(l1, l2) == 2.0
+
+
+def test_points_to_geom_dist_vectorized():
+    xs = np.array([3.0, 5.0, 0.0])
+    ys = np.array([3.0, 3.0, 0.0])
+    d = M.points_to_geom_dist(xs, ys, BOX)
+    np.testing.assert_allclose(d, [0.0, 1.0, np.hypot(2, 2)])
+
+
+def test_hausdorff():
+    a = Geom.linestring([(0, 0), (1, 0)])
+    b = Geom.linestring([(0, 1), (1, 1)])
+    assert M.hausdorff_distance(a, b) == 1.0
+    assert np.isnan(M.hausdorff_distance(None, b))
