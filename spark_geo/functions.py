@@ -1,0 +1,378 @@
+"""Arrow-vectorized geometry functions for Spark DataFrames.
+
+The pygeos ufunc surface re-expressed as pandas UDFs over WKB
+``BinaryType`` columns (SURVEY.md §2.3-2.8 mapping).  Every UDF here
+is batch-vectorized: the Python worker receives Arrow batches and the
+kernels run NumPy loops — the Spark analogue of the reference's "all
+loops in C" claim (reference README.rst:53-59).
+
+Point-typed columns take a fully vectorized fast path (no per-row
+parse); general geometry columns decode per row within the batch but
+vectorize the coordinate math.
+
+Naming: ``st_*`` like Spark-ecosystem SQL conventions; each docstring
+cites the reference operator it matches.
+
+NULL semantics: the reference returns NaN from measurements on missing
+geometries (measurement.py:41-43); our kernels do the same, and the
+Arrow bridge surfaces those NaNs as SQL NULL (pandas NaN -> Arrow
+null) — the idiomatic Spark equivalent.  Predicates on NULL are False,
+matching predicates.py:156-158 exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from .kernel import cell as K_cell
+from .kernel import construct as K_con
+from .kernel import measure as K_m
+from .kernel import predicates as K_p
+from .kernel import wkb as K_wkb
+from .kernel import wkt as K_wkt
+from .kernel.geom import Geom, TYPE_NAMES
+
+
+def _b(v):
+    """Normalize Arrow binary cell to bytes (may arrive as bytearray)."""
+    if v is None:
+        return None
+    return v if isinstance(v, bytes) else bytes(v)
+
+
+def _geoms(s: pd.Series) -> list:
+    return [None if v is None else K_wkb.loads(_b(v)) for v in s]
+
+
+def _wkbs(geoms) -> pd.Series:
+    return pd.Series([K_wkb.dumps(g) for g in geoms], dtype=object)
+
+
+BOUNDS_TYPE = T.StructType([
+    T.StructField("xmin", T.DoubleType()),
+    T.StructField("ymin", T.DoubleType()),
+    T.StructField("xmax", T.DoubleType()),
+    T.StructField("ymax", T.DoubleType()),
+])
+
+
+# -- constructors ------------------------------------------------------
+
+@pandas_udf(T.BinaryType())
+def st_point(lon: pd.Series, lat: pd.Series) -> pd.Series:
+    """points(x, y) (reference creation.py:34-76) — fully vectorized
+    WKB struct-packing, the analogue of CoordSeq_FromBuffer."""
+    x = lon.to_numpy(dtype=np.float64, na_value=np.nan)
+    y = lat.to_numpy(dtype=np.float64, na_value=np.nan)
+    return pd.Series(K_wkb.encode_points(x, y), dtype=object)
+
+
+@pandas_udf(T.BinaryType())
+def st_from_wkt(s: pd.Series) -> pd.Series:
+    """from_wkt with on_invalid='ignore' -> NULL (reference io.py:356-388)."""
+    out = []
+    for v in s:
+        if v is None:
+            out.append(None)
+            continue
+        try:
+            out.append(K_wkb.dumps(K_wkt.from_wkt(v)))
+        except (ValueError, IndexError):
+            out.append(None)
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(T.StringType())
+def st_as_wkt(b: pd.Series) -> pd.Series:
+    """to_wkt, trim + precision 6 defaults (reference io.py:102-183)."""
+    return pd.Series([None if v is None else K_wkt.to_wkt(K_wkb.loads(_b(v)), 6)
+                      for v in b], dtype=object)
+
+
+def st_make_box(xmin, ymin, xmax, ymax):
+    """box() (reference creation.py:271-298) as a column expression."""
+    @pandas_udf(T.BinaryType())
+    def _mk(x0: pd.Series, y0: pd.Series, x1: pd.Series, y1: pd.Series) -> pd.Series:
+        return _wkbs([Geom.box(a, b, c, d)
+                      for a, b, c, d in zip(x0, y0, x1, y1)])
+    return _mk(xmin, ymin, xmax, ymax)
+
+
+# -- accessors ---------------------------------------------------------
+
+@pandas_udf(T.DoubleType())
+def st_x(b: pd.Series) -> pd.Series:
+    """get_x: NaN for non-point/None (reference geometry.py:237-262)."""
+    x, _ = K_wkb.decode_points(np.asarray([_b(v) for v in b], dtype=object))
+    return pd.Series(x)
+
+
+@pandas_udf(T.DoubleType())
+def st_y(b: pd.Series) -> pd.Series:
+    """get_y (reference geometry.py:263-289)."""
+    _, y = K_wkb.decode_points(np.asarray([_b(v) for v in b], dtype=object))
+    return pd.Series(y)
+
+
+@pandas_udf(T.IntegerType())
+def st_type_id(b: pd.Series) -> pd.Series:
+    """get_type_id; -1 for None (reference geometry.py:56-90)."""
+    out = [(-1 if v is None else K_wkb.loads(_b(v)).type_id) for v in b]
+    return pd.Series(out, dtype="int32")
+
+
+@pandas_udf(T.StringType())
+def st_geom_type(b: pd.Series) -> pd.Series:
+    out = [None if v is None else TYPE_NAMES[K_wkb.loads(_b(v)).type_id] for v in b]
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(T.BooleanType())
+def st_is_empty(b: pd.Series) -> pd.Series:
+    """is_empty; None -> False is the missing/empty distinction
+    (reference predicates.py:135-159)."""
+    return pd.Series([False if v is None else K_wkb.loads(_b(v)).is_empty for v in b])
+
+
+@pandas_udf(T.IntegerType())
+def st_num_coordinates(b: pd.Series) -> pd.Series:
+    """get_num_coordinates (reference geometry.py:150-176)."""
+    out = [(None if v is None else K_wkb.loads(_b(v)).num_coordinates()) for v in b]
+    return pd.Series(out, dtype="Int32")
+
+
+@pandas_udf(T.IntegerType())
+def st_num_geometries(b: pd.Series) -> pd.Series:
+    """get_num_geometries (reference geometry.py:625-657)."""
+    out = []
+    for v in b:
+        if v is None:
+            out.append(None)
+            continue
+        g = K_wkb.loads(_b(v))
+        out.append(len(g.parts) if g.parts else (0 if g.is_empty else 1))
+    return pd.Series(out, dtype="Int32")
+
+
+@pandas_udf(T.ArrayType(T.BinaryType()))
+def st_dump(b: pd.Series) -> pd.Series:
+    """get_parts as array<wkb> — explode with F.posexplode for the
+    return_index form (reference geometry.py:524-567)."""
+    out = []
+    for v in b:
+        if v is None:
+            out.append(None)
+            continue
+        g = K_wkb.loads(_b(v))
+        parts = g.parts if g.parts else ([] if g.is_empty else [g])
+        out.append([K_wkb.dumps(p) for p in parts])
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(BOUNDS_TYPE)
+def st_bounds(b: pd.Series) -> pd.DataFrame:
+    """bounds -> struct (reference measurement.py:76-104)."""
+    rows = np.full((len(b), 4), np.nan)
+    for i, v in enumerate(b):
+        if v is not None:
+            rows[i] = K_wkb.loads(_b(v)).bounds()
+    return pd.DataFrame(rows, columns=["xmin", "ymin", "xmax", "ymax"])
+
+
+# -- measurement -------------------------------------------------------
+
+@pandas_udf(T.DoubleType())
+def st_area(b: pd.Series) -> pd.Series:
+    """area (reference measurement.py:23-47)."""
+    return pd.Series([K_m.area(None if v is None else K_wkb.loads(_b(v))) for v in b])
+
+
+@pandas_udf(T.DoubleType())
+def st_length(b: pd.Series) -> pd.Series:
+    """length (reference measurement.py:152-178)."""
+    return pd.Series([K_m.length(None if v is None else K_wkb.loads(_b(v))) for v in b])
+
+
+@pandas_udf(T.DoubleType())
+def st_distance(a: pd.Series, b: pd.Series) -> pd.Series:
+    """distance (reference measurement.py:48-75).  Point×point pairs
+    take the fully vectorized path."""
+    ab = np.asarray([_b(v) for v in a], dtype=object)
+    bb = np.asarray([_b(v) for v in b], dtype=object)
+    ax, ay = K_wkb.decode_points(ab)
+    bx, by = K_wkb.decode_points(bb)
+    fast = ~(np.isnan(ax) | np.isnan(bx))
+    out = np.full(len(a), np.nan)
+    out[fast] = np.hypot(ax[fast] - bx[fast], ay[fast] - by[fast])
+    slow = np.nonzero(~fast)[0]
+    for i in slow:
+        ga = None if ab[i] is None else K_wkb.loads(ab[i])
+        gb = None if bb[i] is None else K_wkb.loads(bb[i])
+        out[i] = K_m.distance(ga, gb)
+    return pd.Series(out)
+
+
+# -- binary predicates ---------------------------------------------------
+
+def _binary_predicate(kernel_fn):
+    @pandas_udf(T.BooleanType())
+    def _udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        ga, gb = _geoms(a), _geoms(b)
+        return pd.Series([kernel_fn(x, y) for x, y in zip(ga, gb)])
+    return _udf
+
+
+st_intersects = _binary_predicate(K_p.intersects)
+st_contains = _binary_predicate(K_p.contains)
+st_contains_properly = _binary_predicate(K_p.contains_properly)
+st_within = _binary_predicate(K_p.within)
+st_covers = _binary_predicate(K_p.covers)
+st_covered_by = _binary_predicate(K_p.covered_by)
+st_touches = _binary_predicate(K_p.touches)
+st_crosses = _binary_predicate(K_p.crosses)
+st_overlaps = _binary_predicate(K_p.overlaps)
+st_equals = _binary_predicate(K_p.equals)
+st_disjoint = _binary_predicate(K_p.disjoint)
+
+
+def st_dwithin(a, b, distance: float):
+    """dwithin (reference predicates.py:1009-1052); point×point pairs
+    vectorized."""
+    @pandas_udf(T.BooleanType())
+    def _udf(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        ab = np.asarray([_b(v) for v in sa], dtype=object)
+        bb = np.asarray([_b(v) for v in sb], dtype=object)
+        ax, ay = K_wkb.decode_points(ab)
+        bx, by = K_wkb.decode_points(bb)
+        fast = ~(np.isnan(ax) | np.isnan(bx))
+        out = np.zeros(len(sa), dtype=bool)
+        out[fast] = np.hypot(ax[fast] - bx[fast], ay[fast] - by[fast]) <= distance
+        for i in np.nonzero(~fast)[0]:
+            ga = None if ab[i] is None else K_wkb.loads(ab[i])
+            gb = None if bb[i] is None else K_wkb.loads(bb[i])
+            out[i] = K_p.dwithin(ga, gb, distance)
+        return pd.Series(out)
+    return _udf(a, b)
+
+
+# -- constructive -------------------------------------------------------
+
+def _unary_constructive(kernel_fn):
+    @pandas_udf(T.BinaryType())
+    def _udf(b: pd.Series) -> pd.Series:
+        return _wkbs([kernel_fn(None if v is None else K_wkb.loads(_b(v))) for v in b])
+    return _udf
+
+
+st_centroid = _unary_constructive(K_con.centroid)
+st_envelope = _unary_constructive(K_con.envelope)
+st_convex_hull = _unary_constructive(K_con.convex_hull)
+st_boundary = _unary_constructive(K_con.boundary)
+st_reverse = _unary_constructive(K_con.reverse)
+st_normalize = _unary_constructive(K_con.normalize)
+st_point_on_surface = _unary_constructive(K_con.point_on_surface)
+st_extract_unique_points = _unary_constructive(K_con.extract_unique_points)
+
+
+def st_buffer(col, radius: float, quadsegs: int = 8):
+    """buffer (reference constructive.py:82-186)."""
+    @pandas_udf(T.BinaryType())
+    def _udf(b: pd.Series) -> pd.Series:
+        return _wkbs([K_con.buffer(None if v is None else K_wkb.loads(_b(v)),
+                                   radius, quadsegs) for v in b])
+    return _udf(col)
+
+
+def st_simplify(col, tolerance: float):
+    """simplify, Douglas–Peucker (reference constructive.py:712-746)."""
+    @pandas_udf(T.BinaryType())
+    def _udf(b: pd.Series) -> pd.Series:
+        return _wkbs([K_con.simplify(None if v is None else K_wkb.loads(_b(v)),
+                                     tolerance) for v in b])
+    return _udf(col)
+
+
+def st_segmentize(col, tolerance: float):
+    """segmentize (reference constructive.py:677-710)."""
+    @pandas_udf(T.BinaryType())
+    def _udf(b: pd.Series) -> pd.Series:
+        return _wkbs([K_con.segmentize(None if v is None else K_wkb.loads(_b(v)),
+                                       tolerance) for v in b])
+    return _udf(col)
+
+
+def st_clip_by_rect(col, xmin: float, ymin: float, xmax: float, ymax: float):
+    """clip_by_rect (reference constructive.py:278-322)."""
+    @pandas_udf(T.BinaryType())
+    def _udf(b: pd.Series) -> pd.Series:
+        return _wkbs([K_con.clip_by_rect(None if v is None else K_wkb.loads(_b(v)),
+                                         xmin, ymin, xmax, ymax) for v in b])
+    return _udf(col)
+
+
+# -- cell index ---------------------------------------------------------
+
+def st_cell(geom_col, res: int):
+    """Point geometry -> cell id at resolution (graft operator,
+    SURVEY.md §2.11); NULL/empty -> -1."""
+    @pandas_udf(T.LongType())
+    def _udf(b: pd.Series) -> pd.Series:
+        arr = np.asarray([_b(v) for v in b], dtype=object)
+        x, y = K_wkb.decode_points(arr)
+        return pd.Series(K_cell.cell_of(x, y, res))
+    return _udf(geom_col)
+
+
+def st_cell_lonlat(lon, lat, res: int):
+    """(lon, lat) doubles -> cell id — pure NumPy, and exactly
+    reproducible in SQL via kernel.cell.cell_sql_expr."""
+    @pandas_udf(T.LongType())
+    def _udf(x: pd.Series, y: pd.Series) -> pd.Series:
+        return pd.Series(K_cell.cell_of(
+            x.to_numpy(dtype=np.float64, na_value=np.nan),
+            y.to_numpy(dtype=np.float64, na_value=np.nan), res))
+    return _udf(lon, lat)
+
+
+def st_cell_parent(cell_col, parent_res: int):
+    """Parent cell for tile rollups."""
+    @pandas_udf(T.LongType())
+    def _udf(c: pd.Series) -> pd.Series:
+        return pd.Series(K_cell.cell_parent(
+            c.to_numpy(dtype=np.int64, na_value=-1), parent_res))
+    return _udf(cell_col)
+
+
+def st_cell_cover(geom_col, res: int):
+    """Geometry -> covering cells at resolution -> array<long>;
+    explode for the equi-join side."""
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def _udf(b: pd.Series) -> pd.Series:
+        out = []
+        for v in b:
+            if v is None:
+                out.append(None)
+                continue
+            cells = K_cell.cover(K_wkb.loads(_b(v)), res)
+            cells = K_cell.cover_to_res(cells, res)
+            out.append([int(c) for c in cells])
+        return pd.Series(out, dtype=object)
+    return _udf(geom_col)
+
+
+@pandas_udf(T.BinaryType())
+def st_cell_boundary(c: pd.Series) -> pd.Series:
+    """Cell id -> box polygon (raster -> vector)."""
+    vals = c.to_numpy(dtype=np.int64, na_value=-1)
+    xmin, ymin, xmax, ymax = K_cell.cell_bounds(vals)
+    out = []
+    for i, cc in enumerate(vals):
+        if cc < 0:
+            out.append(None)
+        else:
+            out.append(K_wkb.dumps(Geom.box(xmin[i], ymin[i], xmax[i], ymax[i])))
+    return pd.Series(out, dtype=object)

@@ -47,8 +47,11 @@ def encode_points(x, y):
     (reference creation.py:34-41: NaN -> empty point on GEOS>=3.10;
     GEOS itself serializes POINT EMPTY as a NaN-coordinate point).
     """
-    x = np.asarray(x, dtype=np.float64)
-    y = np.asarray(y, dtype=np.float64)
+    x = np.asarray(x, dtype=np.float64).copy()
+    y = np.asarray(y, dtype=np.float64).copy()
+    bad = np.isnan(x) | np.isnan(y)  # any-NaN coordinate -> POINT EMPTY
+    x[bad] = np.nan
+    y[bad] = np.nan
     n = len(x)
     buf = np.empty((n, _WKB_POINT_LEN), dtype=np.uint8)
     hdr = np.frombuffer(_LE_POINT_HEADER, dtype=np.uint8)

@@ -1,0 +1,187 @@
+"""kNN / nearest-neighbor joins (SURVEY.md §2.6 nearest/nearest_all).
+
+Semantics from the reference:
+- ``nearest_all``: ALL equidistant nearest right items per left row
+  (reference strtree.py:278-355); ``max_distance`` caps the search
+  (strtree.c:941-964); distance 0 for intersecting items.
+- ``nearest``: one row per left; deterministic lowest-right-id
+  tie-break (documented difference from the reference's
+  nondeterminism, strtree.py:235-238).
+
+Physical plans:
+- **broadcast** (default): STRtree best-first nearest per Arrow batch
+  inside mapInPandas — no shuffle.
+- **cell ring expansion** (large✕large, point✕point): phase 1 probes
+  growing ring shells until each left row sees a first hit at
+  distance d₀; phase 2 probes the full cell disk of radius
+  ceil(d₀/h) — a guaranteed superset of anything within d₀ — and
+  keeps all rows at the exact minimum (tie-complete; this replaces
+  the reference's 1e-6 distance-inflation trick,
+  src/strtree.c:654-695, with an exact bound).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from .kernel import cell as K_cell
+from .kernel import wkb as K_wkb
+from .kernel.strtree import STRtree
+from . import functions as SG
+
+
+def broadcast_nearest_all(left: DataFrame, right: DataFrame, *,
+                          left_geom: str = "geom", right_geom: str = "geom",
+                          right_id: str = "right_id",
+                          max_distance: float | None = None) -> DataFrame:
+    """All-ties nearest join; output = left columns + right_id + distance."""
+    rows = right.select(right_id, right_geom).collect()
+    ids = np.asarray([r[0] for r in rows], dtype=np.int64)
+    geoms = [None if r[1] is None else K_wkb.loads(bytes(r[1])) for r in rows]
+    tree = STRtree(geoms)
+    bc = left.sparkSession.sparkContext.broadcast((tree, ids))
+    out_schema = T.StructType(left.schema.fields + [
+        T.StructField(right_id, T.LongType()),
+        T.StructField("distance", T.DoubleType()),
+    ])
+    geom_pos = left.columns.index(left_geom)
+
+    def run(batches):
+        tree_l, ids_l = bc.value
+        for pdf in batches:
+            geoms_b = [None if v is None else K_wkb.loads(bytes(v))
+                       for v in pdf.iloc[:, geom_pos]]
+            pairs, dists = tree_l.nearest_all(geoms_b, max_distance=max_distance,
+                                              return_distance=True)
+            out = pdf.iloc[pairs[0]].reset_index(drop=True)
+            out[right_id] = ids_l[pairs[1]]
+            out["distance"] = dists
+            yield out
+
+    return left.mapInPandas(run, schema=out_schema)
+
+
+def nearest(left: DataFrame, right: DataFrame, *,
+            left_geom: str = "geom", right_geom: str = "geom",
+            right_id: str = "right_id",
+            max_distance: float | None = None) -> DataFrame:
+    """nearest(): one row per left row, lowest-right-id tie-break."""
+    left_k = left.withColumn("_knn_rid", F.monotonically_increasing_id())
+    pairs = broadcast_nearest_all(left_k, right, left_geom=left_geom,
+                                  right_geom=right_geom, right_id=right_id,
+                                  max_distance=max_distance)
+    w = Window.partitionBy("_knn_rid").orderBy(F.col("distance").asc(), F.col(right_id).asc())
+    return (pairs.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1).drop("_rn", "_knn_rid"))
+
+
+# ---------------------------------------------------------------------------
+# cell ring-expansion kNN (large ✕ large)
+# ---------------------------------------------------------------------------
+
+def cell_nearest_all(left: DataFrame, right: DataFrame, *,
+                     left_geom: str = "geom", right_geom: str = "geom",
+                     left_id: str = "left_id", right_id: str = "right_id",
+                     res: int = 7, max_rings: int = 16,
+                     max_distance: float | None = None) -> DataFrame:
+    """Distributed all-ties nearest for point✕point via cell rings.
+
+    Returns (left_id, right_id, distance); left rows with no right
+    point within ``max_rings`` cells (or ``max_distance``) are omitted
+    — inner-join semantics like the reference."""
+    h = 180.0 / (1 << res)  # cell height (deg); width is 2h
+    if max_distance is not None:
+        max_rings = min(max_rings, int(np.ceil(max_distance / h)) + 1)
+
+    l = left.select(
+        F.col(left_id).alias("_lid"),
+        SG.st_x(F.col(left_geom)).alias("_lx"),
+        SG.st_y(F.col(left_geom)).alias("_ly"),
+    ).where(~F.isnan(F.col("_lx")))
+    r = (right.select(
+        F.col(right_id).alias("_rid"),
+        SG.st_x(F.col(right_geom)).alias("_rx"),
+        SG.st_y(F.col(right_geom)).alias("_ry"))
+        .where(~F.isnan(F.col("_rx")))
+        .withColumn("_cell", SG.st_cell_lonlat(F.col("_rx"), F.col("_ry"), res))
+        .cache())
+
+    # phase 1: grow ring shells until each left row has a first hit
+    remaining = l
+    first_hits = []  # DataFrames of (_lid, _lx, _ly, _d0)
+    for k in range(max_rings + 1):
+        if remaining.limit(1).count() == 0:
+            break
+        probes = remaining.withColumn(
+            "_cell", F.explode(_ring_shell_udf(
+                SG.st_cell_lonlat(F.col("_lx"), F.col("_ly"), res), k)))
+        hits = (probes.join(r, "_cell")
+                .withColumn("_d", F.hypot(F.col("_lx") - F.col("_rx"),
+                                          F.col("_ly") - F.col("_ry"))))
+        if max_distance is not None:
+            hits = hits.where(F.col("_d") <= max_distance)
+        d0 = hits.groupBy("_lid", "_lx", "_ly").agg(F.min("_d").alias("_d0"))
+        d0 = d0.cache()
+        if d0.limit(1).count():
+            first_hits.append(d0)
+            remaining = remaining.join(d0.select("_lid"), "_lid", "left_anti")
+    if not first_hits:
+        schema = T.StructType([
+            T.StructField(left_id, T.LongType()),
+            T.StructField(right_id, T.LongType()),
+            T.StructField("distance", T.DoubleType())])
+        return left.sparkSession.createDataFrame([], schema)
+
+    seeds = first_hits[0]
+    for d in first_hits[1:]:
+        seeds = seeds.unionByName(d)
+
+    # phase 2: exact disk probe of radius ceil(d0/h) per left row
+    probes = seeds.withColumn(
+        "_cell", F.explode(_disk_udf(
+            SG.st_cell_lonlat(F.col("_lx"), F.col("_ly"), res), F.col("_d0"), res)))
+    cand = (probes.join(r, "_cell")
+            .withColumn("_d", F.hypot(F.col("_lx") - F.col("_rx"),
+                                      F.col("_ly") - F.col("_ry"))))
+    if max_distance is not None:
+        cand = cand.where(F.col("_d") <= max_distance)
+    w = Window.partitionBy("_lid")
+    out = (cand.withColumn("_dmin", F.min("_d").over(w))
+           .where(F.col("_d") == F.col("_dmin"))
+           .select(F.col("_lid").alias(left_id), F.col("_rid").alias(right_id),
+                   F.col("_d").alias("distance"))
+           .dropDuplicates([left_id, right_id]))
+    return out
+
+
+def _ring_shell_udf(cell_col, k: int):
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def _udf(c: pd.Series) -> pd.Series:
+        out = []
+        for v in c:
+            if v is None or v < 0:
+                out.append([])
+            else:
+                out.append([int(x) for x in K_cell.ring_shell(int(v), k)])
+        return pd.Series(out, dtype=object)
+    return _udf(cell_col)
+
+
+def _disk_udf(cell_col, d0_col, res: int):
+    h = 180.0 / (1 << res)
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def _udf(c: pd.Series, d0: pd.Series) -> pd.Series:
+        out = []
+        for v, d in zip(c, d0):
+            if v is None or v < 0:
+                out.append([])
+            else:
+                k = int(np.ceil(float(d) / h))
+                out.append([int(x) for x in K_cell.k_ring(int(v), k)])
+        return pd.Series(out, dtype=object)
+    return _udf(cell_col, d0_col)

@@ -1,0 +1,181 @@
+"""Spatial-join tests through Spark: the reference's query_bulk golden
+outputs driven as DataFrame joins (SURVEY.md §5 step 2), plus
+broadcast ≡ cell-join equivalence."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from spark_geo import functions as SG
+from spark_geo import join as SJ
+from spark_geo import knn as SK
+from spark_geo.kernel import construct as K_con
+from spark_geo.kernel import wkb as K_wkb
+from spark_geo.kernel.geom import Geom
+
+
+@pytest.fixture(scope="module")
+def point_tree_df(spark):
+    # reference point_tree fixture: POINT (i i), i = 0..9
+    rows = [(i, K_wkb.dumps(Geom.point(i, i))) for i in range(10)]
+    return spark.createDataFrame(rows, "right_id long, geom binary")
+
+
+@pytest.fixture(scope="module")
+def probe_boxes_df(spark):
+    rows = [(0, K_wkb.dumps(Geom.box(2, 2, 4, 4))),
+            (1, K_wkb.dumps(Geom.box(5, 5, 6, 6)))]
+    return spark.createDataFrame(rows, "left_id long, geom binary")
+
+
+def _pairs(df, l="left_id", r="right_id"):
+    return sorted((row[l], row[r]) for row in df.collect())
+
+
+def test_broadcast_join_golden_boxes(spark, probe_boxes_df, point_tree_df):
+    # reference strtree.py:183-196: query_bulk([box(2,2,4,4), box(5,5,6,6)])
+    # -> [[0,0,0,1,1],[2,3,4,5,6]]
+    out = SJ.broadcast_spatial_join(probe_boxes_df, point_tree_df,
+                                    predicate="intersects",
+                                    right_id="right_id")
+    assert _pairs(out) == [(0, 2), (0, 3), (0, 4), (1, 5), (1, 6)]
+
+
+def test_broadcast_join_contains_golden(spark, probe_boxes_df, point_tree_df):
+    out = SJ.broadcast_spatial_join(probe_boxes_df, point_tree_df,
+                                    predicate="contains", right_id="right_id")
+    assert _pairs(out) == [(0, 3)]  # boundary points excluded
+
+
+def test_broadcast_join_points_left_fast_path(spark, point_tree_df):
+    # points as the (big) left side vs polygon layer: vectorized PIP path
+    pts = spark.createDataFrame(
+        [(i, float(i), float(i)) for i in range(6)], "left_id long, lon double, lat double"
+    ).withColumn("geom", SG.st_point("lon", "lat"))
+    boxes = spark.createDataFrame(
+        [(0, K_wkb.dumps(Geom.box(2, 2, 4, 4)))], "right_id long, geom binary")
+    within = SJ.broadcast_spatial_join(pts, boxes, predicate="within",
+                                       left_geom="geom", right_id="right_id")
+    assert _pairs(within) == [(3, 0)]
+    inter = SJ.broadcast_spatial_join(pts, boxes, predicate="intersects",
+                                      left_geom="geom", right_id="right_id")
+    assert _pairs(inter) == [(2, 0), (3, 0), (4, 0)]
+    touch = SJ.broadcast_spatial_join(pts, boxes, predicate="touches",
+                                      left_geom="geom", right_id="right_id")
+    assert _pairs(touch) == [(2, 0), (4, 0)]
+
+
+def test_broadcast_join_dwithin(spark, point_tree_df):
+    pts = spark.createDataFrame([(0, 0.5, 0.5)], "left_id long, lon double, lat double") \
+        .withColumn("geom", SG.st_point("lon", "lat"))
+    out = SJ.broadcast_spatial_join(pts, point_tree_df, predicate="dwithin",
+                                    distance=1.0, right_id="right_id")
+    # reference strtree.py:100-107: -> tree items 0 and 1
+    assert _pairs(out) == [(0, 0), (0, 1)]
+
+
+def test_broadcast_join_drops_null_and_empty(spark, point_tree_df):
+    from spark_geo.kernel.geom import POINT
+    pts = spark.createDataFrame(
+        [(0, K_wkb.dumps(Geom.point(3, 3))), (1, None),
+         (2, K_wkb.dumps(Geom(POINT)))], "left_id long, geom binary")
+    out = SJ.broadcast_spatial_join(pts, point_tree_df, predicate="intersects",
+                                    right_id="right_id")
+    assert _pairs(out) == [(0, 3)]
+
+
+def test_broadcast_join_poly_tree(spark):
+    # buffered-circle tree (reference test_strtree.py poly fixture)
+    r = np.sqrt(2) / 2 + 1e-9
+    polys = [(i, K_wkb.dumps(K_con.buffer(Geom.point(i, i), r, quadsegs=32)))
+             for i in range(10)]
+    layer = spark.createDataFrame(polys, "right_id long, geom binary")
+    pts = spark.createDataFrame([(0, 3.0, 3.0), (1, 0.5, 0.5)],
+                                "left_id long, lon double, lat double") \
+        .withColumn("geom", SG.st_point("lon", "lat"))
+    out = SJ.broadcast_spatial_join(pts, layer, predicate="intersects",
+                                    left_geom="geom", right_id="right_id")
+    # (0.5, 0.5) is within r of both circles 0 and 1
+    assert _pairs(out) == [(0, 3), (1, 0), (1, 1)]
+
+
+def test_cell_join_equals_broadcast(spark):
+    # 500 deterministic points vs 12 boxes: the two physical plans must
+    # produce identical logical results
+    pts = spark.range(500).select(
+        F.col("id").alias("left_id"),
+        (F.pmod(F.col("id") * 37 + 11, F.lit(3600)) / 10.0 - 180.0).alias("lon"),
+        (F.pmod(F.col("id") * 53 + 29, F.lit(1800)) / 10.0 - 90.0).alias("lat"),
+    ).withColumn("geom", SG.st_point("lon", "lat"))
+    boxes = [(j, K_wkb.dumps(Geom.box(-180 + j * 30, -90 + (j % 6) * 30,
+                                      -180 + j * 30 + 25, -90 + (j % 6) * 30 + 25)))
+             for j in range(12)]
+    layer = spark.createDataFrame(boxes, "right_id long, geom binary")
+    b = SJ.broadcast_spatial_join(pts, layer, predicate="intersects",
+                                  left_geom="geom", right_id="right_id")
+    c = SJ.cell_spatial_join(pts, layer, predicate="intersects",
+                             left_geom="geom", right_geom="geom",
+                             left_id="left_id", right_id="right_id", res=5)
+    assert _pairs(b.select("left_id", "right_id")) == _pairs(c)
+
+
+def test_cell_join_dwithin_equals_broadcast(spark, point_tree_df):
+    pts = spark.createDataFrame([(0, 0.5, 0.5), (1, 7.2, 7.2)],
+                                "left_id long, lon double, lat double") \
+        .withColumn("geom", SG.st_point("lon", "lat"))
+    b = SJ.broadcast_spatial_join(pts, point_tree_df, predicate="dwithin",
+                                  distance=1.0, right_id="right_id")
+    c = SJ.cell_spatial_join(pts, point_tree_df, predicate="dwithin",
+                             distance=1.0, left_id="left_id",
+                             right_id="right_id", res=6)
+    assert _pairs(b.select("left_id", "right_id")) == _pairs(c)
+
+
+# -- kNN ----------------------------------------------------------------
+
+def test_nearest_all_ties(spark, point_tree_df):
+    pts = spark.createDataFrame([(0, 0.5, 0.5), (1, 1.1, 1.1)],
+                                "left_id long, lon double, lat double") \
+        .withColumn("geom", SG.st_point("lon", "lat"))
+    out = SK.broadcast_nearest_all(pts, point_tree_df, left_geom="geom",
+                                   right_id="right_id")
+    got = sorted((r["left_id"], r["right_id"], round(r["distance"], 9))
+                 for r in out.collect())
+    d = round(float(np.sqrt(2) / 2), 9)
+    assert got == [(0, 0, d), (0, 1, d), (1, 1, round(np.hypot(.1, .1), 9))]
+
+
+def test_nearest_deterministic_tiebreak(spark, point_tree_df):
+    pts = spark.createDataFrame([(0, 0.5, 0.5)], "left_id long, lon double, lat double") \
+        .withColumn("geom", SG.st_point("lon", "lat"))
+    out = SK.nearest(pts, point_tree_df, left_geom="geom", right_id="right_id")
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["right_id"] == 0
+
+
+def test_nearest_all_max_distance(spark, point_tree_df):
+    pts = spark.createDataFrame([(0, 0.5, 0.5)], "left_id long, lon double, lat double") \
+        .withColumn("geom", SG.st_point("lon", "lat"))
+    out = SK.broadcast_nearest_all(pts, point_tree_df, left_geom="geom",
+                                   right_id="right_id", max_distance=0.1)
+    assert out.count() == 0
+
+
+def test_cell_nearest_all_equals_broadcast(spark):
+    pts = spark.range(40).select(
+        F.col("id").alias("left_id"),
+        (F.pmod(F.col("id") * 17 + 5, F.lit(200)) / 10.0).alias("lon"),
+        (F.pmod(F.col("id") * 23 + 9, F.lit(160)) / 10.0).alias("lat"),
+    ).withColumn("geom", SG.st_point("lon", "lat"))
+    targets = spark.range(15).select(
+        F.col("id").alias("right_id"),
+        (F.pmod(F.col("id") * 41 + 3, F.lit(200)) / 10.0).alias("lon"),
+        (F.pmod(F.col("id") * 31 + 7, F.lit(160)) / 10.0).alias("lat"),
+    ).withColumn("geom", SG.st_point("lon", "lat"))
+    b = SK.broadcast_nearest_all(pts, targets, left_geom="geom", right_id="right_id")
+    c = SK.cell_nearest_all(pts, targets, left_geom="geom", right_geom="geom",
+                            left_id="left_id", right_id="right_id",
+                            res=5, max_rings=20)
+    bp = sorted((r["left_id"], r["right_id"]) for r in b.collect())
+    cp = sorted((r["left_id"], r["right_id"]) for r in c.collect())
+    assert bp == cp
