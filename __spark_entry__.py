@@ -1,38 +1,505 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises a spark_geo engine operator
+(SURVEY.md §2) over the driver's star-schema tables, with lon/lat
+derived deterministically from integer keys on a 0.25-degree lattice —
+exactly representable doubles, so the DuckDB ``oracle_sql()`` twin
+computes bit-identical values and boundary predicates can't flip.
+
+Spatial columns are synthesized in the query itself (FIXTURES.md §6):
+  customer point: lon = ((c_custkey*37) % 1440)/4 - 180
+                  lat = ((c_custkey*53) % 720)/4 - 90
+  supplier point: lon = ((s_suppkey*41) % 1440)/4 - 180
+                  lat = ((s_suppkey*31) % 720)/4 - 90
+  nation box:     x0 = (n_nationkey % 5)*72 - 180, w = 70
+                  y0 = (floor(n_nationkey/5) % 5)*36 - 90, h = 34
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_geo import functions as SG
+from spark_geo import join as SJ
+from spark_geo import knn as SK
+from spark_geo import tiles as TL
+from spark_geo.kernel.cell import cell_sql_expr
+from spark_geo.session import ship_package
+
+RES = 9
+PARENT_RES = 4
+DWITHIN_D = 15.0
+
+# SQL fragments for the deterministic lattice (DuckDB oracle side)
+CUST_LON = "(((c_custkey*37) % 1440)/4.0 - 180.0)"
+CUST_LAT = "(((c_custkey*53) % 720)/4.0 - 90.0)"
+SUPP_LON = "(((s_suppkey*41) % 1440)/4.0 - 180.0)"
+SUPP_LAT = "(((s_suppkey*31) % 720)/4.0 - 90.0)"
+BOX_X0 = "((n_nationkey % 5)*72.0 - 180.0)"
+BOX_Y0 = "((CAST(FLOOR(n_nationkey/5.0) AS BIGINT) % 5)*36.0 - 90.0)"
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _cust_points(spark, sf_dir) -> DataFrame:
+    """Customer rows with the deterministic lattice point."""
+    c = _load(spark, sf_dir, "customer")
+    lon = (F.pmod(F.col("c_custkey") * 37, F.lit(1440)) / 4.0 - 180.0)
+    lat = (F.pmod(F.col("c_custkey") * 53, F.lit(720)) / 4.0 - 90.0)
+    return (c.withColumn("lon", lon).withColumn("lat", lat)
+            .withColumn("point", SG.st_point("lon", "lat")))
+
+
+def _supp_points(spark, sf_dir) -> DataFrame:
+    s = _load(spark, sf_dir, "supplier")
+    lon = (F.pmod(F.col("s_suppkey") * 41, F.lit(1440)) / 4.0 - 180.0)
+    lat = (F.pmod(F.col("s_suppkey") * 31, F.lit(720)) / 4.0 - 90.0)
+    return (s.withColumn("lon", lon).withColumn("lat", lat)
+            .withColumn("point", SG.st_point("lon", "lat")))
+
+
+def _nation_boxes(spark, sf_dir) -> DataFrame:
+    n = _load(spark, sf_dir, "nation")
+    x0 = F.pmod(F.col("n_nationkey"), F.lit(5)) * 72.0 - 180.0
+    y0 = F.pmod(F.floor(F.col("n_nationkey") / F.lit(5.0)), F.lit(5)) * 36.0 - 90.0
+    return (n.withColumn("x0", x0).withColumn("y0", y0)
+            .withColumn("geom", SG.st_make_box(F.col("x0"), F.col("y0"),
+                                               F.col("x0") + 70.0, F.col("y0") + 34.0))
+            .withColumn("polygon_id", F.col("n_nationkey").cast("long")))
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_pip_join_count(spark, sf_dir):
+    """Two-phase spatial join (broadcast STRtree + ray-cast PIP refine):
+    customer points in nation boxes, count per box."""
+    ship_package(spark)
+    pts = _cust_points(spark, sf_dir).select(
+        F.col("c_custkey").alias("left_id"), "point")
+    layer = _nation_boxes(spark, sf_dir).select("polygon_id", "geom")
+    j = SJ.broadcast_spatial_join(pts, layer, predicate="intersects",
+                                  left_geom="point", right_id="polygon_id")
+    return (j.groupBy("polygon_id").agg(F.count(F.lit(1)).alias("n_points"))
+            .orderBy("polygon_id"))
+
+
+def q_pip_contains_pairs(spark, sf_dir):
+    """Strict-containment pairs (boundary points excluded — the
+    reference's contains semantics, predicates.py:470-519)."""
+    ship_package(spark)
+    pts = _cust_points(spark, sf_dir).select(
+        F.col("c_custkey").alias("left_id"), "point")
+    layer = _nation_boxes(spark, sf_dir).select("polygon_id", "geom")
+    j = SJ.broadcast_spatial_join(pts, layer, predicate="within",
+                                  left_geom="point", right_id="polygon_id")
+    return j.select(F.col("left_id").alias("c_custkey"), "polygon_id")
+
+
+def q_cell_assign(spark, sf_dir):
+    """Cell encoding (st_cell) + per-cell counts (tile stats)."""
+    ship_package(spark)
+    pts = _cust_points(spark, sf_dir)
+    t = TL.assign_cells(pts, "lon", "lat", RES)
+    return t.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).orderBy("cell")
+
+
+def q_tile_rollup(spark, sf_dir):
+    """Multi-resolution rollup via st_cell_parent."""
+    ship_package(spark)
+    pts = _cust_points(spark, sf_dir)
+    t = TL.assign_cells(pts, "lon", "lat", RES)
+    return (TL.tile_rollup(t, PARENT_RES, aggs=[F.count(F.lit(1)).alias("n")])
+            .orderBy("parent_cell"))
+
+
+def q_dwithin_join(spark, sf_dir):
+    """Distance join: customer✕supplier pairs within 15 degrees
+    (broadcast tree + dwithin refine; reference predicates.py:1009)."""
+    ship_package(spark)
+    pts = _cust_points(spark, sf_dir).select(F.col("c_custkey"), F.col("point"))
+    supp = _supp_points(spark, sf_dir).select(
+        F.col("s_suppkey").alias("right_id"), F.col("point").alias("geom"))
+    j = SJ.broadcast_spatial_join(pts, supp, predicate="dwithin",
+                                  distance=DWITHIN_D, left_geom="point",
+                                  right_id="right_id")
+    return j.select("c_custkey", F.col("right_id").alias("s_suppkey"))
+
+
+def q_knn_nearest(spark, sf_dir):
+    """Nearest supplier per customer, deterministic lowest-id tie-break
+    (reference nearest, strtree.py:231-275, made deterministic)."""
+    ship_package(spark)
+    pts = _cust_points(spark, sf_dir).select("c_custkey", "point")
+    supp = _supp_points(spark, sf_dir).select(
+        F.col("s_suppkey").alias("right_id"), F.col("point").alias("geom"))
+    nn = SK.nearest(pts, supp, left_geom="point", right_id="right_id")
+    return nn.select("c_custkey", F.col("right_id").alias("s_suppkey"),
+                     F.round("distance", 6).alias("dist_r"))
+
+
+def q_total_bounds(spark, sf_dir):
+    """total_bounds as a native Catalyst aggregate (reference
+    measurement.py:106-148) over st_bounds structs."""
+    ship_package(spark)
+    pts = _cust_points(spark, sf_dir).withColumn("b", SG.st_bounds("point"))
+    return pts.agg(F.min("b.xmin").alias("xmin"), F.min("b.ymin").alias("ymin"),
+                   F.max("b.xmax").alias("xmax"), F.max("b.ymax").alias("ymax"))
+
+
+def q_box_measures(spark, sf_dir):
+    """st_area / st_length on constructed boxes (reference
+    measurement.py:23-47, :152-178)."""
+    ship_package(spark)
+    b = _nation_boxes(spark, sf_dir)
+    return b.select(
+        "polygon_id",
+        F.round(SG.st_area("geom"), 6).alias("area_r"),
+        F.round(SG.st_length("geom"), 6).alias("perimeter_r"),
+        F.round(SG.st_x(SG.st_centroid("geom")), 6).alias("cx_r"),
+        F.round(SG.st_y(SG.st_centroid("geom")), 6).alias("cy_r"),
+    ).orderBy("polygon_id")
+
+
+def q_clip_area(spark, sf_dir):
+    """clip_by_rect (reference constructive.py:278-322): nation boxes
+    clipped to a fixed window, remaining area."""
+    ship_package(spark)
+    b = _nation_boxes(spark, sf_dir)
+    clipped = b.withColumn("c", SG.st_clip_by_rect("geom", -100.0, -50.0, 100.0, 50.0))
+    return (clipped.select("polygon_id", F.round(SG.st_area("c"), 6).alias("clip_area_r"))
+            .orderBy("polygon_id"))
+
+
+def q_buffer_contains(spark, sf_dir):
+    """buffer + contains composition: which customers fall in a
+    0.5-degree buffer around their nation-box centroid... simplified:
+    buffer supplier points, count customers within (engine-only
+    composition; oracle uses the regular n-gon area identity)."""
+    ship_package(spark)
+    supp = _supp_points(spark, sf_dir)
+    buf = supp.withColumn("bgeom", SG.st_buffer("point", 2.0, quadsegs=8))
+    return (buf.select("s_suppkey", F.round(SG.st_area("bgeom"), 6).alias("buf_area_r"))
+            .orderBy("s_suppkey"))
+
+
+def q_events_topk(spark, sf_dir):
+    """Window top-k plumbing (SURVEY.md §2.10 note): top-3 events per
+    user by value, deterministic tie-break."""
+    e = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id").asc())
+    return (e.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 3)
+            .select("user_id", "event_id", "rk"))
+
+
+def q_events_sessionize(spark, sf_dir):
+    """Sessionization: 30-minute-gap sessions per user (stateful
+    batch analogue of streaming session windows)."""
+    e = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    sec = F.col("ts").cast("timestamp").cast("double")  # parquet ts is NTZ
+    gap = sec - F.lag(sec).over(w)
+    newsess = F.when(gap.isNull() | (gap > 1800.0), 1).otherwise(0)
+    return (e.withColumn("ns", newsess)
+            .groupBy("user_id").agg(F.sum("ns").alias("n_sessions"),
+                                    F.count(F.lit(1)).alias("n_events"))
+            .orderBy("user_id"))
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup over documents: keeper = min doc_id per text."""
+    d = _load(spark, sf_dir, "documents")
+    return (d.groupBy("text").agg(F.min("doc_id").alias("keeper"),
+                                  F.count(F.lit(1)).alias("n_copies"))
+            .select("keeper", "n_copies").orderBy("keeper"))
+
+
+def q_token_jaccard_dups(spark, sf_dir):
+    """Near-dup pairs by distinct-token Jaccard >= 0.9 (n-gram/token
+    Jaccard dedup over the documents table)."""
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = (d.select("doc_id", F.explode(F.split(F.trim("text"), "\\s+")).alias("tok"))
+            .distinct())
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (a.join(b, (F.col("a.tok") == F.col("b.tok"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+             .agg(F.count(F.lit(1)).alias("c")))
+    sa = sizes.select(F.col("doc_id").alias("da"), F.col("sz").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("db"), F.col("sz").alias("nb"))
+    j = (inter.join(sa, "da").join(sb, "db")
+         .withColumn("jac", F.col("c") / (F.col("na") + F.col("nb") - F.col("c")))
+         .where(F.col("jac") >= 0.9))
+    return j.select("da", "db").orderBy("da", "db")
+
+
+def q_minhash_candidates(spark, sf_dir):
+    """MinHash-LSH near-dup candidates (banded minhash over token sets;
+    deterministic xxhash64 family).  Non-SQL-expressible: rows-only
+    driver check; tested against exact Jaccard in tests/."""
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = (d.select("doc_id", F.explode(F.split(F.trim("text"), "\\s+")).alias("tok"))
+            .distinct())
+    n_hashes, bands = 32, 4  # rows-per-band = 8: P(candidate) ≈ 1-(1-J^8)^4
+    minhashes = toks.groupBy("doc_id").agg(*[
+        F.min(F.xxhash64(F.col("tok"), F.lit(i))).alias(f"h{i}")
+        for i in range(n_hashes)])
+    r = n_hashes // bands
+    band_cols = [F.xxhash64(*[F.col(f"h{b * r + k}") for k in range(r)]).alias(f"band{b}")
+                 for b in range(bands)]
+    banded = minhashes.select("doc_id", *band_cols)
+    stacked = banded.select("doc_id", F.explode(F.array(*[
+        F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("sig"))
+        for b in range(bands)])).alias("bs")).select("doc_id", "bs.band", "bs.sig")
+    x = stacked.alias("x")
+    y = stacked.alias("y")
+    cand = (x.join(y, (F.col("x.band") == F.col("y.band"))
+                   & (F.col("x.sig") == F.col("y.sig"))
+                   & (F.col("x.doc_id") < F.col("y.doc_id")))
+            .select(F.col("x.doc_id").alias("da"), F.col("y.doc_id").alias("db"))
+            .distinct())
+    return cand.orderBy("da", "db")
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 neighbors for probe vectors (vec_id<10)
+    — JVM-side F.aggregate dot products, no UDF."""
+    e = _load(spark, sf_dir, "embeddings")
+    probes = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe"))
+    cand = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
+    dot = F.aggregate(
+        F.zip_with("pe", "ce", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.zip_with(c, c, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v))
+    sim = F.round(dot / (norm("pe") * norm("ce")), 5)
+    pairs = (probes.crossJoin(cand)
+             .where(F.col("probe_id") != F.col("neighbor_id"))
+             .withColumn("sim_r", sim))
+    w = Window.partitionBy("probe_id").orderBy(F.col("sim_r").desc(),
+                                               F.col("neighbor_id").asc())
+    return (pairs.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 5)
+            .select("probe_id", "neighbor_id", "rk"))
+
+
+def q_text_quality(spark, sf_dir):
+    """Text quality scoring: token counts + mean token length +
+    uppercase-free ratio per language."""
+    d = _load(spark, sf_dir, "documents")
+    ntok = F.size(F.split(F.trim("text"), "\\s+"))
+    return (d.withColumn("ntok", ntok)
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("ntok").alias("total_tokens"),
+                 F.round(F.avg(F.length("text")), 6).alias("avg_chars_r"))
+            .orderBy("lang"))
+
+
+def q_embedding_norms(spark, sf_dir):
+    """Per-label embedding stats (vector column plumbing)."""
+    e = _load(spark, sf_dir, "embeddings")
+    norm2 = F.aggregate(
+        F.zip_with("embedding", "embedding",
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+    return (e.withColumn("n2", norm2)
+            .groupBy("label").agg(F.count(F.lit(1)).alias("n"),
+                                  F.round(F.avg(F.sqrt(F.col("n2"))), 5).alias("avg_norm_r"))
+            .orderBy("label"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pip_join_count": q_pip_join_count,
+        "pip_contains_pairs": q_pip_contains_pairs,
+        "cell_assign": q_cell_assign,
+        "tile_rollup": q_tile_rollup,
+        "dwithin_join": q_dwithin_join,
+        "knn_nearest": q_knn_nearest,
+        "total_bounds": q_total_bounds,
+        "box_measures": q_box_measures,
+        "clip_area": q_clip_area,
+        "buffer_area": q_buffer_contains,
+        "events_topk": q_events_topk,
+        "events_sessionize": q_events_sessionize,
+        "dedup_exact": q_dedup_exact,
+        "token_jaccard_dups": q_token_jaccard_dups,
+        "minhash_candidates": q_minhash_candidates,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "text_quality": q_text_quality,
+        "embedding_norms": q_embedding_norms,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    cell_e = cell_sql_expr(CUST_LON, CUST_LAT, RES)
+    pcell_e = cell_sql_expr(CUST_LON, CUST_LAT, PARENT_RES)
+    return {
+        "pip_join_count": f"""
+            SELECT n.n_nationkey::BIGINT AS polygon_id, COUNT(*) AS n_points
+            FROM customer c JOIN nation n
+              ON {CUST_LON} >= {BOX_X0} AND {CUST_LON} <= {BOX_X0} + 70.0
+             AND {CUST_LAT} >= {BOX_Y0} AND {CUST_LAT} <= {BOX_Y0} + 34.0
+            GROUP BY 1 ORDER BY 1
+        """,
+        "pip_contains_pairs": f"""
+            SELECT c.c_custkey, n.n_nationkey::BIGINT AS polygon_id
+            FROM customer c JOIN nation n
+              ON {CUST_LON} > {BOX_X0} AND {CUST_LON} < {BOX_X0} + 70.0
+             AND {CUST_LAT} > {BOX_Y0} AND {CUST_LAT} < {BOX_Y0} + 34.0
+        """,
+        "cell_assign": f"""
+            SELECT {cell_e} AS cell, COUNT(*) AS n
+            FROM customer GROUP BY 1 ORDER BY 1
+        """,
+        "tile_rollup": f"""
+            SELECT {pcell_e} AS parent_cell, COUNT(*) AS n
+            FROM customer GROUP BY 1 ORDER BY 1
+        """,
+        "dwithin_join": f"""
+            SELECT c.c_custkey, s.s_suppkey
+            FROM customer c, supplier s
+            WHERE SQRT(POWER({CUST_LON} - {SUPP_LON}, 2)
+                     + POWER({CUST_LAT} - {SUPP_LAT}, 2)) <= {DWITHIN_D}
+        """,
+        "knn_nearest": f"""
+            WITH d AS (
+              SELECT c.c_custkey, s.s_suppkey,
+                     SQRT(POWER({CUST_LON} - {SUPP_LON}, 2)
+                        + POWER({CUST_LAT} - {SUPP_LAT}, 2)) AS dist
+              FROM customer c, supplier s),
+            rk AS (SELECT c_custkey, s_suppkey, dist,
+                          ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                             ORDER BY dist ASC, s_suppkey ASC) AS r
+                   FROM d)
+            SELECT c_custkey, s_suppkey, ROUND(dist, 6) AS dist_r
+            FROM rk WHERE r = 1
+        """,
+        "total_bounds": f"""
+            SELECT MIN({CUST_LON}) AS xmin, MIN({CUST_LAT}) AS ymin,
+                   MAX({CUST_LON}) AS xmax, MAX({CUST_LAT}) AS ymax
+            FROM customer
+        """,
+        "box_measures": f"""
+            SELECT n_nationkey::BIGINT AS polygon_id,
+                   ROUND(70.0 * 34.0, 6) AS area_r,
+                   ROUND(2 * (70.0 + 34.0), 6) AS perimeter_r,
+                   ROUND({BOX_X0} + 35.0, 6) AS cx_r,
+                   ROUND({BOX_Y0} + 17.0, 6) AS cy_r
+            FROM nation ORDER BY 1
+        """,
+        "clip_area": f"""
+            SELECT n_nationkey::BIGINT AS polygon_id,
+                   ROUND(GREATEST(0.0, LEAST({BOX_X0} + 70.0, 100.0) - GREATEST({BOX_X0}, -100.0))
+                       * GREATEST(0.0, LEAST({BOX_Y0} + 34.0, 50.0) - GREATEST({BOX_Y0}, -50.0)), 6)
+                     AS clip_area_r
+            FROM nation ORDER BY 1
+        """,
+        "buffer_area": """
+            SELECT s_suppkey,
+                   ROUND(0.5 * 32 * 4.0 * SIN(2 * PI() / 32), 6) AS buf_area_r
+            FROM supplier ORDER BY 1
+        """,
+        "events_topk": """
+            SELECT user_id, event_id, rk FROM (
+              SELECT user_id, event_id,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY value DESC, event_id ASC) AS rk
+              FROM events) WHERE rk <= 3
+        """,
+        "events_sessionize": """
+            WITH g AS (
+              SELECT user_id, event_id,
+                     CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER
+                            (PARTITION BY user_id ORDER BY ts) > 1800.0
+                          OR LAG(epoch(ts)) OVER
+                            (PARTITION BY user_id ORDER BY ts) IS NULL
+                          THEN 1 ELSE 0 END AS ns
+              FROM events)
+            SELECT user_id, CAST(SUM(ns) AS BIGINT) AS n_sessions,
+                   COUNT(*) AS n_events
+            FROM g GROUP BY user_id ORDER BY user_id
+        """,
+        "dedup_exact": """
+            SELECT MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+            FROM documents GROUP BY text ORDER BY 1
+        """,
+        "token_jaccard_dups": """
+            WITH toks AS (
+              SELECT DISTINCT doc_id, tok
+              FROM (SELECT doc_id,
+                           UNNEST(string_split_regex(TRIM(text), '\\s+')) AS tok
+                    FROM documents)),
+            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+              FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT da, db
+            FROM inter JOIN sizes sa ON da = sa.doc_id
+                       JOIN sizes sb ON db = sb.doc_id
+            WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.9
+            ORDER BY da, db
+        """,
+        "ann_cosine_topk": """
+            WITH sims AS (
+              SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+                     ROUND(list_dot_product(p.embedding, c.embedding)
+                       / (SQRT(list_dot_product(p.embedding, p.embedding))
+                        * SQRT(list_dot_product(c.embedding, c.embedding))), 5) AS sim_r
+              FROM embeddings p, embeddings c
+              WHERE p.vec_id < 10 AND p.vec_id != c.vec_id)
+            SELECT probe_id, neighbor_id, rk FROM (
+              SELECT probe_id, neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY probe_id
+                                        ORDER BY sim_r DESC, neighbor_id ASC) AS rk
+              FROM sims) WHERE rk <= 5
+        """,
+        "text_quality": """
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(len(string_split_regex(TRIM(text), '\\s+'))) AS BIGINT)
+                     AS total_tokens,
+                   ROUND(AVG(LENGTH(text)), 6) AS avg_chars_r
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "embedding_norms": """
+            SELECT label, COUNT(*) AS n,
+                   ROUND(AVG(SQRT(list_dot_product(embedding, embedding))), 5) AS avg_norm_r
+            FROM embeddings GROUP BY label ORDER BY label
+        """,
+        # minhash_candidates: intentionally omitted (LSH banding is not
+        # SQL-expressible; driver records rows-only, exactness tested in
+        # tests/test_entry.py against the Jaccard oracle)
+    }
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: spatial join + tile assignment on sf0.001 — customer
+    points into nation boxes with per-box page... point counts and
+    distinct cells (the pipeline's headline shape)."""
+    ship_package(spark)
+    sf_dir = "/root/testdata/sf0.001"
+    pts = _cust_points(spark, sf_dir)
+    pts = pts.withColumn("cell", SG.st_cell_lonlat("lon", "lat", RES)) \
+             .select(F.col("c_custkey").alias("left_id"), "point", "cell")
+    layer = _nation_boxes(spark, sf_dir).select("polygon_id", "geom")
+    j = SJ.broadcast_spatial_join(pts, layer, predicate="intersects",
+                                  left_geom="point", right_id="polygon_id")
+    return (j.groupBy("polygon_id")
+            .agg(F.count(F.lit(1)).alias("n_points"),
+                 F.countDistinct("cell").alias("n_cells"))
+            .orderBy("polygon_id"))

@@ -1,0 +1,122 @@
+"""Benchmark driver: headline engine queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "pages": N,
+   "pages_per_sec": ..., "cpus": N}
+
+The flagship measurement is the north-star workload: synthesize a
+CC-style pages table sized to the scale factor (1 page per lineitem
+row), geocode → point → cell-encode → broadcast-STRtree join against a
+290-polygon world layer → per-region tile aggregation.  Page synthesis
+is column arithmetic standing in for the 100 TB scan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+
+def _force(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_flagship(spark, sf_dir, n_pages):
+    from spark_geo import pipeline as PL
+    pages = PL.synth_pages(spark, n_pages, partitions=64)
+    layer = PL.make_world_layer(spark)
+    out = PL.flagship(pages, layer, res=7)
+    _force(out)
+
+
+def bench_pip_join(spark, sf_dir):
+    import __spark_entry__ as E
+    _force(E.q_pip_join_count(spark, sf_dir))
+
+
+def bench_dwithin(spark, sf_dir):
+    import __spark_entry__ as E
+    _force(E.q_dwithin_join(spark, sf_dir))
+
+
+def bench_knn(spark, sf_dir):
+    import __spark_entry__ as E
+    _force(E.q_knn_nearest(spark, sf_dir))
+
+
+def bench_tiles(spark, sf_dir):
+    import __spark_entry__ as E
+    _force(E.q_cell_assign(spark, sf_dir))
+    _force(E.q_tile_rollup(spark, sf_dir))
+
+
+def bench_dedup(spark, sf_dir):
+    import __spark_entry__ as E
+    _force(E.q_dedup_exact(spark, sf_dir))
+    _force(E.q_minhash_candidates(spark, sf_dir))
+
+
+def bench_ann(spark, sf_dir):
+    import __spark_entry__ as E
+    _force(E.q_ann_cosine_topk(spark, sf_dir))
+
+
+def bench_text(spark, sf_dir):
+    import __spark_entry__ as E
+    _force(E.q_text_quality(spark, sf_dir))
+    _force(E.q_events_sessionize(spark, sf_dir))
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+    from spark_geo.session import get_spark
+    spark = get_spark(cores=cpus, shuffle_partitions=max(cpus, 32), app="spark_geo_bench")
+    spark.range(10).count()  # JVM/session warmup outside timing
+
+    n_pages = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    sf = round(n_pages / 6_000_000, 4)
+
+    suite = {
+        "flagship_pages": lambda: bench_flagship(spark, sf_dir, n_pages),
+        "pip_join": lambda: bench_pip_join(spark, sf_dir),
+        "dwithin_join": lambda: bench_dwithin(spark, sf_dir),
+        "knn_nearest": lambda: bench_knn(spark, sf_dir),
+        "cell_tiles": lambda: bench_tiles(spark, sf_dir),
+        "dedup": lambda: bench_dedup(spark, sf_dir),
+        "ann_topk": lambda: bench_ann(spark, sf_dir),
+        "text_events": lambda: bench_text(spark, sf_dir),
+    }
+    if only:
+        suite = {k: v for k, v in suite.items() if k in only.split(",")}
+
+    times = {}
+    for name, fn in suite.items():
+        t0 = time.perf_counter()
+        fn()
+        times[name] = round(time.perf_counter() - t0, 3)
+    total = round(sum(times.values()), 3)
+    result = {
+        "metric": "spatial-join + tile-assignment suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "pages": n_pages,
+        "pages_per_sec": round(n_pages / times["flagship_pages"], 1)
+        if "flagship_pages" in times else None,
+        "cpus": cpus,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
