@@ -30,8 +30,10 @@ from pyspark.sql.functions import pandas_udf
 
 from .kernel import cell as K_cell
 from .kernel import construct as K_con
+from .kernel import linear as K_lin
 from .kernel import measure as K_m
 from .kernel import predicates as K_p
+from .kernel import unary as K_u
 from .kernel import wkb as K_wkb
 from .kernel import wkt as K_wkt
 from .kernel.geom import Geom, TYPE_NAMES
@@ -312,6 +314,240 @@ def st_clip_by_rect(col, xmin: float, ymin: float, xmax: float, ymax: float):
         return _wkbs([K_con.clip_by_rect(None if v is None else K_wkb.loads(_b(v)),
                                          xmin, ymin, xmax, ymax) for v in b])
     return _udf(col)
+
+
+# -- unary predicates / accessors (reference §2.3-2.4) -------------------
+
+def _unary_bool(kernel_fn):
+    @pandas_udf(T.BooleanType())
+    def _udf(b: pd.Series) -> pd.Series:
+        return pd.Series([kernel_fn(None if v is None else K_wkb.loads(_b(v)))
+                          for v in b])
+    return _udf
+
+
+st_is_closed = _unary_bool(K_u.is_closed)
+st_is_ring = _unary_bool(K_u.is_ring)
+st_is_ccw = _unary_bool(K_u.is_ccw)
+st_is_simple = _unary_bool(K_u.is_simple)
+st_is_valid = _unary_bool(K_u.is_valid)
+st_has_z = _unary_bool(K_u.has_z)
+
+
+@pandas_udf(T.StringType())
+def st_is_valid_reason(b: pd.Series) -> pd.Series:
+    """is_valid_reason (reference predicates.py:392-419)."""
+    return pd.Series([K_u.is_valid_reason(None if v is None else K_wkb.loads(_b(v)))
+                      for v in b], dtype=object)
+
+
+@pandas_udf(T.IntegerType())
+def st_dimensions(b: pd.Series) -> pd.Series:
+    """get_dimensions (reference geometry.py:91-121)."""
+    return pd.Series([K_u.get_dimensions(None if v is None else K_wkb.loads(_b(v)))
+                      for v in b], dtype="int32")
+
+
+@pandas_udf(T.IntegerType())
+def st_num_interior_rings(b: pd.Series) -> pd.Series:
+    """get_num_interior_rings (reference geometry.py:448-484)."""
+    return pd.Series([K_u.get_num_interior_rings(
+        None if v is None else K_wkb.loads(_b(v))) for v in b], dtype="int32")
+
+
+st_exterior_ring = _unary_constructive(K_u.get_exterior_ring)
+
+
+def st_interior_ring(col, index: int):
+    """get_interior_ring (reference geometry.py:419-446)."""
+    @pandas_udf(T.BinaryType())
+    def _udf(b: pd.Series) -> pd.Series:
+        return _wkbs([K_u.get_interior_ring(
+            None if v is None else K_wkb.loads(_b(v)), index) for v in b])
+    return _udf(col)
+
+
+def st_geometry_n(col, index: int):
+    """get_geometry(g, n), negative ok (reference geometry.py:486-523)."""
+    @pandas_udf(T.BinaryType())
+    def _udf(b: pd.Series) -> pd.Series:
+        return _wkbs([K_u.get_geometry(
+            None if v is None else K_wkb.loads(_b(v)), index) for v in b])
+    return _udf(col)
+
+
+def st_point_n(col, index: int):
+    """get_point(line, n) (reference geometry.py:322-357)."""
+    @pandas_udf(T.BinaryType())
+    def _udf(b: pd.Series) -> pd.Series:
+        return _wkbs([K_u.get_point(
+            None if v is None else K_wkb.loads(_b(v)), index) for v in b])
+    return _udf(col)
+
+
+@pandas_udf(T.IntegerType())
+def st_num_points(b: pd.Series) -> pd.Series:
+    """get_num_points (reference geometry.py:358-392)."""
+    return pd.Series([K_u.get_num_points(None if v is None else K_wkb.loads(_b(v)))
+                      for v in b], dtype="int32")
+
+
+@pandas_udf(T.ArrayType(T.BinaryType()))
+def st_rings(b: pd.Series) -> pd.Series:
+    """get_rings -> array<wkb> for posexplode (reference
+    geometry.py:569-624)."""
+    out = []
+    for v in b:
+        if v is None:
+            out.append(None)
+        else:
+            out.append([K_wkb.dumps(r) for r in
+                        K_u.get_rings(K_wkb.loads(_b(v)))])
+    return pd.Series(out, dtype=object)
+
+
+def st_set_precision(col, grid_size: float):
+    """set_precision, pointwise grid snap (reference geometry.py:699)."""
+    @pandas_udf(T.BinaryType())
+    def _udf(b: pd.Series) -> pd.Series:
+        return _wkbs([K_u.set_precision(
+            None if v is None else K_wkb.loads(_b(v)), grid_size) for v in b])
+    return _udf(col)
+
+
+st_force_2d = _unary_constructive(K_con.force_2d)
+
+
+def st_force_3d(col, z: float = 0.0):
+    """force_3d (reference geometry.py:819-848)."""
+    @pandas_udf(T.BinaryType())
+    def _udf(b: pd.Series) -> pd.Series:
+        return _wkbs([K_u.force_3d(
+            None if v is None else K_wkb.loads(_b(v)), z) for v in b])
+    return _udf(col)
+
+
+# -- coordinates (reference §2.10) ----------------------------------------
+
+@pandas_udf(T.ArrayType(T.StructType([T.StructField("x", T.DoubleType()),
+                                      T.StructField("y", T.DoubleType())])))
+def st_coords(b: pd.Series) -> pd.Series:
+    """get_coordinates -> array<struct<x,y>>; posexplode gives the
+    return_index form (reference coordinates.py:92-136)."""
+    out = []
+    for v in b:
+        if v is None:
+            out.append(None)
+            continue
+        c = K_m.vertices(K_wkb.loads(_b(v)))
+        out.append([{"x": float(x), "y": float(y)} for x, y in c])
+    return pd.Series(out, dtype=object)
+
+
+def st_transform_coords(col, fn):
+    """apply(geoms, transformation) — the reference's entire UDF
+    surface (coordinates.py:9-68): decode -> (N,2) ndarray -> user
+    fn -> functional rebuild.  ``fn`` maps an (N,2) float64 array to
+    an (N,2) array; runs vectorized per geometry inside the batch."""
+    @pandas_udf(T.BinaryType())
+    def _udf(b: pd.Series) -> pd.Series:
+        out = []
+        for v in b:
+            if v is None:
+                out.append(None)
+                continue
+            g = K_wkb.loads(_b(v))
+            out.append(K_wkb.dumps(_map_coords(g, fn)))
+        return pd.Series(out, dtype=object)
+    return _udf(col)
+
+
+def _map_coords(g, fn):
+    from .kernel.geom import POLYGON
+    if g.type_id == POLYGON:
+        return Geom(POLYGON, rings=[np.asarray(fn(r), dtype=np.float64)
+                                    for r in g.rings])
+    if g.parts:
+        return Geom(g.type_id, parts=[_map_coords(p, fn) for p in g.parts])
+    if not len(g.coords):
+        return g
+    return Geom(g.type_id, np.asarray(fn(g.coords), dtype=np.float64))
+
+
+# -- measurement extensions ----------------------------------------------
+
+@pandas_udf(T.DoubleType())
+def st_hausdorff_distance(a: pd.Series, b: pd.Series) -> pd.Series:
+    """hausdorff_distance (reference measurement.py:179-217)."""
+    ga, gb = _geoms(a), _geoms(b)
+    return pd.Series([K_m.hausdorff_distance(x, y) for x, y in zip(ga, gb)])
+
+
+@pandas_udf(T.DoubleType())
+def st_frechet_distance(a: pd.Series, b: pd.Series) -> pd.Series:
+    """frechet_distance (reference measurement.py:218-259)."""
+    ga, gb = _geoms(a), _geoms(b)
+    return pd.Series([K_m.frechet_distance(x, y) for x, y in zip(ga, gb)])
+
+
+@pandas_udf(T.DoubleType())
+def st_minimum_bounding_radius(b: pd.Series) -> pd.Series:
+    """minimum_bounding_radius (reference measurement.py:290-318)."""
+    return pd.Series([K_m.minimum_bounding_radius(
+        None if v is None else K_wkb.loads(_b(v))) for v in b])
+
+
+# -- overlay (reference §2.7) ----------------------------------------------
+
+@pandas_udf(T.BinaryType())
+def st_intersection(a: pd.Series, b: pd.Series) -> pd.Series:
+    """intersection (reference set_operations.py:79-131; v1 convex-clip
+    scope, see kernel.construct.intersection)."""
+    ga, gb = _geoms(a), _geoms(b)
+    return _wkbs([K_con.intersection(x, y) for x, y in zip(ga, gb)])
+
+
+def st_equals_exact(a, b, tolerance: float = 0.0):
+    """equals_exact (reference predicates.py:910-951)."""
+    @pandas_udf(T.BooleanType())
+    def _udf(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        ga, gb = _geoms(sa), _geoms(sb)
+        return pd.Series([K_p.equals_exact(x, y, tolerance) for x, y in zip(ga, gb)])
+    return _udf(a, b)
+
+
+# -- linear referencing (reference §2.9) -----------------------------------
+
+def st_line_interpolate_point(col, distance, normalized: bool = False):
+    """line_interpolate_point (reference linear.py:15-53)."""
+    @pandas_udf(T.BinaryType())
+    def _udf(b: pd.Series, d: pd.Series) -> pd.Series:
+        return _wkbs([K_lin.line_interpolate_point(
+            None if v is None else K_wkb.loads(_b(v)), float(dv), normalized)
+            for v, dv in zip(b, d)])
+    from pyspark.sql import Column
+    dist_col = distance if isinstance(distance, Column) else F.lit(float(distance))
+    return _udf(col, dist_col)
+
+
+def st_line_locate_point(line, point, normalized: bool = False):
+    """line_locate_point (reference linear.py:55-89)."""
+    @pandas_udf(T.DoubleType())
+    def _udf(a: pd.Series, p: pd.Series) -> pd.Series:
+        ga, gp = _geoms(a), _geoms(p)
+        return pd.Series([K_lin.line_locate_point(x, y, normalized)
+                          for x, y in zip(ga, gp)])
+    return _udf(line, point)
+
+
+st_line_merge = _unary_constructive(K_lin.line_merge)
+
+
+@pandas_udf(T.BinaryType())
+def st_shortest_line(a: pd.Series, b: pd.Series) -> pd.Series:
+    """shortest_line (reference linear.py:144-173)."""
+    ga, gb = _geoms(a), _geoms(b)
+    return _wkbs([K_lin.shortest_line(x, y) for x, y in zip(ga, gb)])
 
 
 # -- cell index ---------------------------------------------------------

@@ -55,21 +55,26 @@ def _probe_batch_points(tree: STRtree, xs, ys, predicate, distance):
     Phase 2: group candidate pairs by tree geometry, one vectorized
     kernel call per geometry (ray-cast PIP / distance)."""
     n = len(xs)
-    lefts, rights = [], []
     pad = distance if predicate == "dwithin" else 0.0
-    cand_l, cand_r = [], []
-    for i in range(n):
-        x, y = xs[i], ys[i]
-        if np.isnan(x):
-            continue
-        pos = tree._query_box(x - pad, y - pad, x + pad, y + pad)
-        if len(pos):
-            cand_l.append(np.full(len(pos), i, dtype=np.int64))
-            cand_r.append(pos)
-    if not cand_l:
+    cand = _point_candidates(tree, xs, ys, pad)
+    if cand is None:
+        cand_l, cand_r = [], []
+        for i in range(n):
+            x, y = xs[i], ys[i]
+            if np.isnan(x):
+                continue
+            pos = tree._query_box(x - pad, y - pad, x + pad, y + pad)
+            if len(pos):
+                cand_l.append(np.full(len(pos), i, dtype=np.int64))
+                cand_r.append(pos)
+        if not cand_l:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        cl = np.concatenate(cand_l)
+        cr = np.concatenate(cand_r)
+    else:
+        cl, cr = cand
+    if not len(cl):
         return np.empty(0, np.int64), np.empty(0, np.int64)
-    cl = np.concatenate(cand_l)
-    cr = np.concatenate(cand_r)
     if predicate is None:
         return cl, tree._idx[cr]
     order = np.argsort(cr, kind="stable")
@@ -130,6 +135,86 @@ def _probe_batch_points(tree: STRtree, xs, ys, predicate, distance):
     return np.concatenate(keep_l), np.concatenate(keep_r)
 
 
+def _tree_cell_index(tree: STRtree, pad: float):
+    """Cell-bucketed envelope index over the tree items, cached on the
+    (per-worker, broadcast-deserialized) tree object.  Maps quad-grid
+    cell -> candidate item positions; candidate lookup for a whole
+    point batch is then two vectorized searchsorted calls instead of an
+    O(items × points) bbox sweep — this is what keeps the probe
+    memory-bandwidth-light and lets it scale with cores."""
+    key = ("cellidx", round(float(pad), 9))
+    cached = getattr(tree, "_cell_index_cache", None)
+    if cached is not None and cached[0] == key:
+        return cached[1]
+    b = tree._boxes
+    if not len(b):
+        return None
+    # pick a resolution where each item covers few cells: cell width
+    # close to the median padded envelope width
+    w = np.median(b[:, 2] - b[:, 0]) + 2 * pad
+    h = np.median(b[:, 3] - b[:, 1]) + 2 * pad
+    span = max(min(360.0, max(w * 2, 1e-9)), min(180.0, max(h, 1e-9)) * 2)
+    res = int(np.clip(np.floor(np.log2(360.0 / span)), 0, 14))
+    from .kernel.cell import MAX_RES  # noqa: F401  (res bounded above)
+    while True:
+        n_side = 1 << res
+        ix0 = np.clip(np.floor((b[:, 0] - pad + 180.0) / 360.0 * n_side), 0, n_side - 1).astype(np.int64)
+        ix1 = np.clip(np.floor((b[:, 2] + pad + 180.0) / 360.0 * n_side), 0, n_side - 1).astype(np.int64)
+        iy0 = np.clip(np.floor((b[:, 1] - pad + 90.0) / 180.0 * n_side), 0, n_side - 1).astype(np.int64)
+        iy1 = np.clip(np.floor((b[:, 3] + pad + 90.0) / 180.0 * n_side), 0, n_side - 1).astype(np.int64)
+        counts = (ix1 - ix0 + 1) * (iy1 - iy0 + 1)
+        if counts.sum() <= 64 * len(b) or res == 0:
+            break
+        res -= 1
+    cells_l, pos_l = [], []
+    for u in range(len(b)):
+        xs_r = np.arange(ix0[u], ix1[u] + 1)
+        ys_r = np.arange(iy0[u], iy1[u] + 1)
+        cc = (ys_r[:, None] * np.int64(n_side) + xs_r[None, :]).ravel()
+        cells_l.append(cc)
+        pos_l.append(np.full(len(cc), u, dtype=np.int64))
+    cells = np.concatenate(cells_l)
+    pos = np.concatenate(pos_l)
+    order = np.argsort(cells, kind="stable")
+    index = (res, cells[order], pos[order])
+    tree._cell_index_cache = (key, index)
+    return index
+
+
+def _point_candidates(tree: STRtree, xs, ys, pad: float):
+    """Vectorized candidate (point_row, item_pos) pairs via the cell
+    index + exact envelope filter.  Returns None when a per-point tree
+    walk is the better plan (no items)."""
+    idx = _tree_cell_index(tree, pad)
+    if idx is None:
+        return None
+    res, cells_sorted, pos_sorted = idx
+    n_side = 1 << res
+    ix = np.clip(np.floor((np.nan_to_num(xs, nan=1e9) + 180.0) / 360.0 * n_side),
+                 0, n_side - 1).astype(np.int64)
+    iy = np.clip(np.floor((np.nan_to_num(ys, nan=1e9) + 90.0) / 180.0 * n_side),
+                 0, n_side - 1).astype(np.int64)
+    pc = iy * np.int64(n_side) + ix
+    pc[np.isnan(xs)] = -1
+    lo = np.searchsorted(cells_sorted, pc, side="left")
+    hi = np.searchsorted(cells_sorted, pc, side="right")
+    counts = hi - lo
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    cl = np.repeat(np.arange(len(xs), dtype=np.int64), counts)
+    starts = np.repeat(lo, counts)
+    csum = np.cumsum(counts) - counts
+    intra = np.arange(total, dtype=np.int64) - np.repeat(csum, counts)
+    cr = pos_sorted[starts + intra]
+    # exact envelope filter (cells over-approximate)
+    b = tree._boxes
+    px, py = xs[cl], ys[cl]
+    keep = (px >= b[cr, 0] - pad) & (px <= b[cr, 2] + pad) \
+        & (py >= b[cr, 1] - pad) & (py <= b[cr, 3] + pad)
+    return cl[keep], cr[keep]
+
+
 def probe_batch(tree: STRtree, wkbs, predicate=None, distance=None):
     """query_bulk over one Arrow batch of WKB geometries -> (row_pos,
     tree_item_index) arrays.  Point batches go fully vectorized."""
@@ -180,6 +265,53 @@ def broadcast_spatial_join(left: DataFrame, right: DataFrame, *,
             yield out
 
     return left.mapInPandas(run, schema=out_schema)
+
+
+def broadcast_lonlat_join(left: DataFrame, right: DataFrame, *,
+                          lon: str = "lon", lat: str = "lat",
+                          predicate: str = "intersects",
+                          right_geom: str = "geom",
+                          right_id: str = "right_id",
+                          distance: float | None = None,
+                          cell_res: int | None = None,
+                          keep: list[str] | None = None) -> DataFrame:
+    """Point-probe join straight from lon/lat DOUBLE columns — the
+    minimal-data-movement plan for the pages pipeline: only the
+    numeric columns named in ``keep`` (+ lon/lat) cross the Python
+    boundary, WKB encoding is skipped entirely, and the cell id is
+    computed in the same crossing (``cell_res``).
+
+    Output: keep columns + [cell] + right_id.  At 10^12 rows this is
+    the plan that matters: one Arrow roundtrip of ~16 bytes/row."""
+    rows = right.select(right_id, right_geom).collect()
+    ids = np.asarray([r[0] for r in rows], dtype=np.int64)
+    geoms = [None if r[1] is None else K_wkb.loads(bytes(r[1])) for r in rows]
+    tree = STRtree(geoms)
+    bc = left.sparkSession.sparkContext.broadcast((tree, ids))
+    keep = keep or []
+    cols = keep + [lon, lat]
+    src = left.select(*cols)
+    fields = [src.schema[c] for c in keep]
+    if cell_res is not None:
+        fields.append(T.StructField("cell", T.LongType()))
+    fields.append(T.StructField(right_id, T.LongType()))
+    out_schema = T.StructType(fields)
+    lon_pos, lat_pos = len(keep), len(keep) + 1
+
+    def run(batches):
+        from .kernel.cell import cell_of
+        tree_l, ids_l = bc.value
+        for pdf in batches:
+            xs = pdf.iloc[:, lon_pos].to_numpy(dtype=np.float64, na_value=np.nan)
+            ys = pdf.iloc[:, lat_pos].to_numpy(dtype=np.float64, na_value=np.nan)
+            li, ri = _probe_batch_points(tree_l, xs, ys, predicate, distance)
+            out = pdf.iloc[li, :len(keep)].reset_index(drop=True)
+            if cell_res is not None:
+                out["cell"] = cell_of(xs[li], ys[li], cell_res)
+            out[right_id] = ids_l[ri]
+            yield out
+
+    return src.mapInPandas(run, schema=out_schema)
 
 
 # ---------------------------------------------------------------------------

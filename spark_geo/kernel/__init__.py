@@ -6,4 +6,5 @@ SURVEY.md §5 step 1).
 """
 
 from .geom import Geom  # noqa: F401
-from . import wkb, wkt, measure, predicates, construct, strtree, cell  # noqa: F401
+from . import (wkb, wkt, measure, predicates, construct, strtree, cell,  # noqa: F401
+               linear, unary)

@@ -487,6 +487,122 @@ def force_2d(g: Geom | None) -> Geom | None:
     return out
 
 
+def _is_convex_ring(r: np.ndarray) -> bool:
+    if len(r) < 4:
+        return False
+    body = r[:-1]
+    a = body
+    b = np.roll(body, -1, axis=0)
+    c = np.roll(body, -2, axis=0)
+    cross = (b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1]) - (b[:, 1] - a[:, 1]) * (c[:, 0] - a[:, 0])
+    return bool(np.all(cross >= -1e-12) or np.all(cross <= 1e-12))
+
+
+def _sh_clip_ring_convex(subject: np.ndarray, clip_ring: np.ndarray) -> np.ndarray:
+    """Sutherland–Hodgman against an arbitrary CONVEX clip ring."""
+    body = clip_ring[:-1]
+    # ensure CCW orientation of the clip ring
+    x, y = body[:, 0], body[:, 1]
+    if (np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y)) < 0:
+        body = body[::-1]
+    poly = list(map(tuple, subject[:-1])) if len(subject) else []
+    m = len(body)
+    for k in range(m):
+        if not poly:
+            return np.empty((0, 2))
+        e1, e2 = body[k], body[(k + 1) % m]
+        ex, ey = e2[0] - e1[0], e2[1] - e1[1]
+
+        def side(p):
+            return ex * (p[1] - e1[1]) - ey * (p[0] - e1[0])
+
+        out = []
+        for i in range(len(poly)):
+            cur, prv = poly[i], poly[i - 1]
+            ci, pi = side(cur) >= -1e-12, side(prv) >= -1e-12
+            if ci != pi:
+                sc, sp = side(cur), side(prv)
+                t = sp / (sp - sc)
+                out.append((prv[0] + t * (cur[0] - prv[0]),
+                            prv[1] + t * (cur[1] - prv[1])))
+            if ci:
+                out.append(cur)
+        poly = out
+    if not poly:
+        return np.empty((0, 2))
+    return np.asarray(poly + [poly[0]], dtype=np.float64)
+
+
+def intersection(a: Geom | None, b: Geom | None) -> Geom | None:
+    """Geometric intersection (reference set_operations.py:79-131).
+
+    v1 scope: either operand a CONVEX polygon (covers the reference's
+    tiling/clipping workloads: boxes, buffered discs, convex cells) or
+    disjoint/contained fast paths.  General concave∩concave overlay is
+    deferred (SURVEY.md §7.2)."""
+    from . import predicates as P
+
+    if a is None or b is None:
+        return None
+    if a.is_empty or b.is_empty or not P.intersects(a, b):
+        return Geom(GEOMETRYCOLLECTION)
+    if P.covers(b, a):
+        return a
+    if P.covers(a, b):
+        return b
+    # convex-clip path
+    for clip, subject in ((b, a), (a, b)):
+        if clip.type_id == POLYGON and len(clip.rings) == 1 and _is_convex_ring(clip.rings[0]):
+            if subject.type_id == POLYGON:
+                rings = [_sh_clip_ring_convex(r, clip.rings[0]) for r in subject.rings]
+                rings = [r for r in rings if len(r) >= 4]
+                return Geom(POLYGON, rings=rings) if rings else Geom(GEOMETRYCOLLECTION)
+            if subject.type_id == MULTIPOLYGON:
+                parts = [intersection(p, clip) for p in subject.parts]
+                parts = [p for p in parts if p is not None and not p.is_empty]
+                if not parts:
+                    return Geom(GEOMETRYCOLLECTION)
+                return parts[0] if len(parts) == 1 else Geom(MULTIPOLYGON, parts=parts)
+            if subject.type_id in (LINESTRING, LINEARRING, MULTILINESTRING):
+                xmin, ymin, xmax, ymax = clip.bounds()
+                # exact only for axis boxes; for general convex defer
+                if _is_axis_box(clip):
+                    return clip_by_rect(subject, xmin, ymin, xmax, ymax)
+            if subject.type_id in (POINT, MULTIPOINT):
+                pts = [p for p in (subject.parts or [subject])
+                       if not p.is_empty and P.intersects(p, clip)]
+                if not pts:
+                    return Geom(GEOMETRYCOLLECTION)
+                return pts[0] if len(pts) == 1 else Geom(MULTIPOINT, parts=pts)
+    raise NotImplementedError(
+        "general concave-polygon overlay not implemented in v1 "
+        "(SURVEY.md §7.2); one operand must be convex")
+
+
+def _is_axis_box(g: Geom) -> bool:
+    if g.type_id != POLYGON or len(g.rings) != 1 or len(g.rings[0]) != 5:
+        return False
+    xmin, ymin, xmax, ymax = g.bounds()
+    want = {(xmin, ymin), (xmin, ymax), (xmax, ymin), (xmax, ymax)}
+    return {tuple(p) for p in g.rings[0][:-1]} == want
+
+
+def difference(a: Geom | None, b: Geom | None) -> Geom | None:
+    """Difference (reference set_operations.py:22-77).  v1 fast paths:
+    disjoint -> a; b covers a -> EMPTY; general subtraction deferred."""
+    from . import predicates as P
+    if a is None or b is None:
+        return None
+    if a.is_empty:
+        return Geom(GEOMETRYCOLLECTION)
+    if b.is_empty or not P.intersects(a, b):
+        return a
+    if P.covers(b, a):
+        return Geom(GEOMETRYCOLLECTION)
+    raise NotImplementedError(
+        "partial-overlap polygon difference not implemented in v1 (SURVEY.md §7.2)")
+
+
 # -- aggregate set ops -------------------------------------------------
 
 def collect(geoms) -> Geom | None:

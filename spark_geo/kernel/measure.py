@@ -187,6 +187,87 @@ def hausdorff_distance(a: Geom | None, b: Geom | None, densify: float | None = N
     return float(max(d_ab, d_ba))
 
 
+def frechet_distance(a: Geom | None, b: Geom | None, densify: float | None = None) -> float:
+    """Discrete Fréchet distance over vertex sequences (reference
+    measurement.py:218-259, GEOS>=3.7), optional densify."""
+    if a is None or b is None or a.is_empty or b.is_empty:
+        return np.nan
+    p = _densified_vertices(a, densify)
+    q = _densified_vertices(b, densify)
+    n, m = len(p), len(q)
+    d = np.hypot(p[:, None, 0] - q[None, :, 0], p[:, None, 1] - q[None, :, 1])
+    ca = np.full((n, m), np.inf)
+    ca[0, 0] = d[0, 0]
+    for i in range(1, n):
+        ca[i, 0] = max(ca[i - 1, 0], d[i, 0])
+    for j in range(1, m):
+        ca[0, j] = max(ca[0, j - 1], d[0, j])
+    for i in range(1, n):
+        prev_row = ca[i - 1]
+        row = ca[i]
+        for j in range(1, m):
+            row[j] = max(min(prev_row[j], prev_row[j - 1], row[j - 1]), d[i, j])
+    return float(ca[n - 1, m - 1])
+
+
+def minimum_bounding_radius(g: Geom | None) -> float:
+    """Radius of the minimum bounding circle (reference
+    measurement.py:290-318, GEOS>=3.8) — Welzl's algorithm on vertices."""
+    if g is None:
+        return np.nan
+    pts = vertices(g)
+    if len(pts) == 0:
+        return 0.0
+    c, r = _welzl(np.unique(pts, axis=0))
+    return float(r)
+
+
+def _welzl(pts: np.ndarray):
+    # deterministic order (shuffling only matters for worst-case big n)
+    def circle2(a, b):
+        c = (a + b) / 2
+        return c, float(np.hypot(*(a - c)))
+
+    def circle3(a, b, c):
+        ax, ay = a; bx, by = b; cx, cy = c
+        dd = 2 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
+        if dd == 0:
+            return None
+        ux = ((ax**2 + ay**2) * (by - cy) + (bx**2 + by**2) * (cy - ay)
+              + (cx**2 + cy**2) * (ay - by)) / dd
+        uy = ((ax**2 + ay**2) * (cx - bx) + (bx**2 + by**2) * (ax - cx)
+              + (cx**2 + cy**2) * (bx - ax)) / dd
+        ctr = np.array([ux, uy])
+        return ctr, float(np.hypot(*(a - ctr)))
+
+    def inside(cr, p):
+        return cr is not None and np.hypot(*(p - cr[0])) <= cr[1] * (1 + 1e-12)
+
+    def mb(points, boundary):
+        if len(boundary) == 3:
+            return circle3(*boundary)
+        if not len(points):
+            if len(boundary) == 0:
+                return (np.zeros(2), 0.0)
+            if len(boundary) == 1:
+                return (boundary[0], 0.0)
+            return circle2(*boundary)
+        p = points[0]
+        cr = mb(points[1:], boundary)
+        if inside(cr, p):
+            return cr
+        return mb(points[1:], boundary + [p])
+
+    import sys
+    old = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old, len(pts) * 2 + 100))
+    try:
+        cr = mb(list(pts), [])
+    finally:
+        sys.setrecursionlimit(old)
+    return cr if cr is not None else (pts.mean(axis=0), 0.0)
+
+
 def _densified_vertices(g: Geom, densify: float | None) -> np.ndarray:
     v = vertices(g)
     if densify is None:

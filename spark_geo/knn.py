@@ -43,7 +43,14 @@ def broadcast_nearest_all(left: DataFrame, right: DataFrame, *,
     ids = np.asarray([r[0] for r in rows], dtype=np.int64)
     geoms = [None if r[1] is None else K_wkb.loads(bytes(r[1])) for r in rows]
     tree = STRtree(geoms)
-    bc = left.sparkSession.sparkContext.broadcast((tree, ids))
+    # all-points right side -> fully vectorized distance-matrix path
+    pts = None
+    if len(tree) and len(tree) <= 200_000 and all(
+            geoms[i].type_id == 0 for i in tree._idx):
+        txs = np.asarray([geoms[i].coords[0, 0] for i in tree._idx])
+        tys = np.asarray([geoms[i].coords[0, 1] for i in tree._idx])
+        pts = (txs, tys, tree._idx.copy())
+    bc = left.sparkSession.sparkContext.broadcast((tree, ids, pts))
     out_schema = T.StructType(left.schema.fields + [
         T.StructField(right_id, T.LongType()),
         T.StructField("distance", T.DoubleType()),
@@ -51,10 +58,23 @@ def broadcast_nearest_all(left: DataFrame, right: DataFrame, *,
     geom_pos = left.columns.index(left_geom)
 
     def run(batches):
-        tree_l, ids_l = bc.value
+        tree_l, ids_l, pts_l = bc.value
         for pdf in batches:
-            geoms_b = [None if v is None else K_wkb.loads(bytes(v))
-                       for v in pdf.iloc[:, geom_pos]]
+            raw = pdf.iloc[:, geom_pos].to_numpy()
+            if pts_l is not None:
+                arr = np.asarray([None if v is None else
+                                  (v if isinstance(v, bytes) else bytes(v))
+                                  for v in raw], dtype=object)
+                xs, ys = K_wkb.decode_points(arr)
+                nulls = np.array([v is None for v in arr])
+                if bool(np.all(np.isnan(xs) == nulls)):
+                    li, ri, dd = _nearest_all_points(xs, ys, *pts_l, max_distance)
+                    out = pdf.iloc[li].reset_index(drop=True)
+                    out[right_id] = ids_l[ri]
+                    out["distance"] = dd
+                    yield out
+                    continue
+            geoms_b = [None if v is None else K_wkb.loads(bytes(v)) for v in raw]
             pairs, dists = tree_l.nearest_all(geoms_b, max_distance=max_distance,
                                               return_distance=True)
             out = pdf.iloc[pairs[0]].reset_index(drop=True)
@@ -63,6 +83,31 @@ def broadcast_nearest_all(left: DataFrame, right: DataFrame, *,
             yield out
 
     return left.mapInPandas(run, schema=out_schema)
+
+
+def _nearest_all_points(xs, ys, txs, tys, tpos, max_distance):
+    """Vectorized all-ties nearest: chunked (batch ✕ items) distance
+    matrix, exact min + exact-equality ties (the all-equidistant
+    semantics of reference strtree.py:278-355)."""
+    n, m = len(xs), len(txs)
+    lefts, rights, dists = [], [], []
+    chunk = max(1, int(4e7 // max(m, 1)))
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        cx, cy = xs[s:e], ys[s:e]
+        d = np.hypot(cx[:, None] - txs[None, :], cy[:, None] - tys[None, :])
+        dmin = d.min(axis=1)
+        ok = ~np.isnan(dmin)
+        if max_distance is not None:
+            ok &= dmin <= max_distance
+        ties = (d == dmin[:, None]) & ok[:, None]
+        li, ri = np.nonzero(ties)
+        lefts.append(li + s)
+        rights.append(tpos[ri])
+        dists.append(d[li, ri])
+    if not lefts:
+        return (np.empty(0, np.int64),) * 2 + (np.empty(0),)
+    return np.concatenate(lefts), np.concatenate(rights), np.concatenate(dists)
 
 
 def nearest(left: DataFrame, right: DataFrame, *,

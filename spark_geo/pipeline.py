@@ -187,17 +187,17 @@ def salt_hot_cells(left: DataFrame, right: DataFrame, hot: DataFrame,
 # ---------------------------------------------------------------------------
 
 def flagship(pages: DataFrame, layer: DataFrame, res: int = 7) -> DataFrame:
-    """The headline query: geocode pages → points → cells → broadcast
-    STRtree join to the polygon layer → per-region page counts.
+    """The headline query: geocode pages → cells + broadcast STRtree
+    join to the polygon layer → per-region page counts.
 
-    One Python stage (point+cell+join probe, all Arrow-vectorized),
-    one shuffle (the final groupBy)."""
-    pts = to_points(geocode(pages)).where(F.col("lon").isNotNull())
-    pts = pts.withColumn("cell", SG.st_cell_lonlat(F.col("lon"), F.col("lat"), res))
-    joined = SJ.broadcast_spatial_join(
-        pts.select("url", "lang", "cell", "point"), layer,
-        predicate="intersects", left_geom="point", right_geom="geom",
-        right_id="polygon_id")
+    Exactly ONE Python crossing (probe + cell assignment fused in a
+    single mapInPandas over two double columns — ~16 bytes/row through
+    Arrow; geocode regexes and the final aggregate stay JVM-side), one
+    shuffle (the final groupBy)."""
+    pts = geocode(pages).where(F.col("lon").isNotNull())
+    joined = SJ.broadcast_lonlat_join(
+        pts, layer, lon="lon", lat="lat", predicate="intersects",
+        right_geom="geom", right_id="polygon_id", cell_res=res)
     return (joined.groupBy("polygon_id")
             .agg(F.count(F.lit(1)).alias("n_pages"),
                  F.countDistinct("cell").alias("n_cells")))

@@ -1,0 +1,217 @@
+"""Text / dedup operators for large-scale training-data pipelines.
+
+All hot paths are JVM-side Catalyst expressions (split, xxhash64,
+aggregate) — no Python in the per-row loop.  Each operator is shaped
+for 100 TB: map-side partial aggregation, equi-joins on hash keys,
+candidate generation before any quadratic work.
+
+Operators:
+- exact_dedup            hash-groupBy exact duplicate clustering
+- minhash_signatures     n-permutation MinHash over token sets
+- lsh_candidate_pairs    banded-LSH near-dup candidate pairs
+- jaccard_pairs          exact token-Jaccard verification (for the
+                         candidates, or small corpora)
+- simhash                64-bit SimHash fingerprint (JVM bit votes)
+- doc_fingerprint        normalized-content hash
+- lang_id                stopword-profile language identification
+- quality_scores         length/punct/stopword/token statistics
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+TOKEN_PATTERN = "\\s+"
+
+
+def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return (df.select(id_col, F.explode(
+        F.split(F.trim(F.col(text_col)), TOKEN_PATTERN)).alias("tok"))
+        .where(F.col("tok") != "").distinct())
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Exact duplicate clusters: normalize -> hash -> groupBy.
+    Returns (content_hash, keeper, n_copies); map-side combine makes
+    this one shuffle of (hash, id)."""
+    h = F.sha2(F.col(text_col), 256).alias("content_hash")
+    return (df.select(h, F.col(id_col))
+            .groupBy("content_hash")
+            .agg(F.min(id_col).alias("keeper"), F.count(F.lit(1)).alias("n_copies")))
+
+
+def dedup_keep_first(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Filtered frame keeping one row per exact-duplicate cluster."""
+    keepers = exact_dedup(df, id_col, text_col).select(
+        F.col("keeper").alias(id_col))
+    return df.join(keepers, id_col, "left_semi")
+
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", n_hashes: int = 32) -> DataFrame:
+    """MinHash signature columns h0..h{n-1} via seeded xxhash64 over the
+    distinct token set (shingle -> minhash step of the LSH dedup).
+    One shuffle (groupBy id) with partial min combine."""
+    toks = _tokens(df, id_col, text_col)
+    aggs = [F.min(F.xxhash64(F.col("tok"), F.lit(i))).alias(f"h{i}")
+            for i in range(n_hashes)]
+    return toks.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n_hashes: int = 32,
+                        bands: int = 4) -> DataFrame:
+    """Banded LSH: hash each band of the signature to a bucket,
+    self-join on (band, bucket) -> candidate pairs (da < db).
+    P(candidate) = 1 - (1 - J^(n/bands))^bands."""
+    assert n_hashes % bands == 0
+    r = n_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n_hashes)
+    band_structs = [F.struct(F.lit(b).alias("band"),
+                             F.xxhash64(*[F.col(f"h{b * r + k}") for k in range(r)])
+                             .alias("bucket"))
+                    for b in range(bands)]
+    stacked = (sig.select(F.col(id_col), F.explode(F.array(*band_structs)).alias("bb"))
+               .select(id_col, "bb.band", "bb.bucket"))
+    x, y = stacked.alias("x"), stacked.alias("y")
+    return (x.join(y, (F.col("x.band") == F.col("y.band"))
+                   & (F.col("x.bucket") == F.col("y.bucket"))
+                   & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")))
+            .select(F.col(f"x.{id_col}").alias("da"), F.col(f"y.{id_col}").alias("db"))
+            .distinct())
+
+
+def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", threshold: float = 0.8,
+                  candidates: DataFrame | None = None) -> DataFrame:
+    """Exact distinct-token Jaccard >= threshold.  With ``candidates``
+    (e.g. from lsh_candidate_pairs) the intersection join is restricted
+    to candidate pairs — the scale path; without, it is the exact
+    all-pairs token join (small corpora / verification only)."""
+    toks = _tokens(df, id_col, text_col)
+    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = toks.select(F.col(id_col).alias("da"), F.col("tok"))
+    b = toks.select(F.col(id_col).alias("db"), F.col("tok"))
+    inter = (a.join(b, ["tok"]).where(F.col("da") < F.col("db"))
+             .groupBy("da", "db").agg(F.count(F.lit(1)).alias("c")))
+    if candidates is not None:
+        inter = inter.join(candidates, ["da", "db"], "left_semi")
+    sa = sizes.select(F.col(id_col).alias("da"), F.col("sz").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("db"), F.col("sz").alias("nb"))
+    return (inter.join(sa, "da").join(sb, "db")
+            .withColumn("jaccard", F.col("c") / (F.col("na") + F.col("nb") - F.col("c")))
+            .where(F.col("jaccard") >= threshold)
+            .select("da", "db", "jaccard"))
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """64-bit SimHash fingerprint, fully JVM-side: per-token xxhash64,
+    per-bit sign votes folded with F.aggregate, bits packed with
+    shiftleft/bitwise-or.  Near-dup distance = hamming(simhash_a,
+    simhash_b) via bit_count(a ^ b)."""
+    toks = (df.select(id_col, F.explode(
+        F.split(F.trim(F.col(text_col)), TOKEN_PATTERN)).alias("tok"))
+        .where(F.col("tok") != ""))
+    hashes = toks.groupBy(id_col).agg(
+        F.collect_list(F.xxhash64("tok")).alias("hs"))
+
+    def vote(b):
+        return F.aggregate(
+            "hs", F.lit(0).cast("long"),
+            lambda acc, h: acc + (F.shiftright(h, b).bitwiseAND(F.lit(1))
+                                  .cast("long") * 2 - 1))
+
+    packed = F.lit(0).cast("long")
+    for b in range(63, -1, -1):
+        bitval = F.when(vote(b) > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long"))
+        packed = F.shiftleft(packed, 1).bitwiseOR(bitval)
+    return hashes.select(id_col, packed.alias("simhash"))
+
+
+def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs by 4-block banding (any identical 16-bit
+    block -> candidate; exact for hamming <= 3 by pigeonhole) + exact
+    hamming verify with bit_count."""
+    sh = simhash(df, id_col, text_col)
+    blocks = [F.struct(F.lit(k).alias("blk"),
+                       F.shiftright("simhash", 16 * k)
+                       .bitwiseAND(F.lit(0xFFFF)).alias("val"))
+              for k in range(4)]
+    stacked = sh.select(id_col, "simhash",
+                        F.explode(F.array(*blocks)).alias("bb")) \
+        .select(id_col, "simhash", "bb.blk", "bb.val")
+    x, y = stacked.alias("x"), stacked.alias("y")
+    cand = (x.join(y, (F.col("x.blk") == F.col("y.blk"))
+                   & (F.col("x.val") == F.col("y.val"))
+                   & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")))
+            .select(F.col(f"x.{id_col}").alias("da"),
+                    F.col(f"y.{id_col}").alias("db"),
+                    F.col("x.simhash").alias("sa"),
+                    F.col("y.simhash").alias("sb"))
+            .distinct())
+    return (cand.withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+            .where(F.col("hamming") <= max_hamming)
+            .select("da", "db", "hamming"))
+
+
+def doc_fingerprint(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Content fingerprint of whitespace-normalized lowercased text —
+    the cheap first-pass dedup key."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), "\\s+", " "))
+    return df.select(id_col, F.xxhash64(norm).alias("fingerprint"))
+
+
+# language profiles: high-frequency marker words (public common-word lists)
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is", "that", "with"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit"],
+    "fr": ["le", "la", "et", "les", "des", "est", "dans"],
+    "es": ["el", "la", "los", "las", "que", "con", "por"],
+    "pt": ["o", "os", "das", "dos", "um", "uma", "para"],
+}
+
+
+def lang_id(df: DataFrame, text_col: str = "text",
+            out_col: str = "lang_pred") -> DataFrame:
+    """Stopword-profile language ID (n-gram-heuristic class): score =
+    marker-token hits per language, argmax with deterministic
+    alphabetical tie-break.  Pure Catalyst expressions."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), TOKEN_PATTERN)
+    scores = [
+        F.struct(
+            F.size(F.array_intersect(
+                F.array_distinct(toks),
+                F.array(*[F.lit(w) for w in words]))).alias("score"),
+            F.lit(lang).alias("lang"))
+        for lang, words in sorted(_LANG_MARKERS.items())
+    ]
+    best = F.array_max(F.array(*scores))
+    return df.withColumn(out_col,
+                         F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")))
+
+
+def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document quality statistics (filtering features for training-data
+    curation): token count, mean token length, alpha ratio,
+    punctuation ratio, stopword ratio."""
+    toks = F.filter(F.split(F.trim(F.col(text_col)), TOKEN_PATTERN),
+                    lambda t: t != "")
+    n_tok = F.size(toks)
+    n_char = F.length(text_col)
+    n_alpha = F.length(F.regexp_replace(text_col, "[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(text_col, "[^.,;:!?'\"()\\[\\]-]", ""))
+    all_stop = F.array(*[F.lit(w) for ws in _LANG_MARKERS.values() for w in ws])
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), all_stop))
+    return (df.withColumn("n_tokens", n_tok)
+            .withColumn("n_chars", n_char)
+            .withColumn("mean_token_len", (n_char - (n_tok - 1)) / n_tok)
+            .withColumn("alpha_ratio", n_alpha / F.greatest(n_char, F.lit(1)))
+            .withColumn("punct_ratio", n_punct / F.greatest(n_char, F.lit(1)))
+            .withColumn("stopword_ratio",
+                        n_stop / F.greatest(F.size(F.array_distinct(toks)), F.lit(1))))

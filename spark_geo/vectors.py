@@ -1,0 +1,130 @@
+"""Embedding / similarity-search operators (array<float> columns).
+
+Scale design mirrors the spatial joins: a brute-force JVM-side cosine
+path as the exact baseline, and a bucketed (LSH / IVF-style) path that
+turns ANN into an equi-join — the same coarse-key + exact-refine shape
+as the cell spatial join.
+
+All dot products are Catalyst expressions (zip_with + aggregate) —
+JVM-codegen, no Python workers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(c):
+    return F.sqrt(_dot(c, c))
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding",
+              out_col: str = "norm") -> DataFrame:
+    return df.withColumn(out_col, _norm(vec_col))
+
+
+def cosine_topk(probes: DataFrame, corpus: DataFrame, k: int = 5, *,
+                probe_id: str = "probe_id", corpus_id: str = "neighbor_id",
+                probe_vec: str = "embedding", corpus_vec: str = "embedding",
+                broadcast_probes: bool = True) -> DataFrame:
+    """Exact brute-force cosine top-k: probes ✕ corpus cross join
+    (broadcast the small probe side → corpus scanned once, no
+    shuffle), window rank.  The exact baseline every ANN variant is
+    verified against."""
+    p = probes.select(F.col(probe_id), F.col(probe_vec).alias("_pv"))
+    c = corpus.select(F.col(corpus_id), F.col(corpus_vec).alias("_cv"))
+    if broadcast_probes:
+        p = F.broadcast(p)
+    sim = _dot("_pv", "_cv") / (_norm("_pv") * _norm("_cv"))
+    pairs = (p.crossJoin(c)
+             .where(F.col(probe_id) != F.col(corpus_id))
+             .withColumn("sim", sim))
+    w = Window.partitionBy(probe_id).orderBy(F.col("sim").desc(),
+                                             F.col(corpus_id).asc())
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(probe_id, corpus_id, "sim", "rank"))
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(n_planes, dim)).round(6).tolist()
+
+
+def lsh_bucket(df: DataFrame, vec_col: str = "embedding", dim: int = 64,
+               n_planes: int = 12, seed: int = 42,
+               out_col: str = "bucket") -> DataFrame:
+    """Random-hyperplane (sign) LSH bucket id — deterministic seeded
+    planes folded into an int key, all Catalyst expressions.  Cosine-
+    similar vectors collide with prob (1 - angle/pi)^n_planes."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucket = F.lit(0).cast("long")
+    for p in planes:
+        plane_lit = F.array(*[F.lit(float(v)) for v in p])
+        bit = F.when(_dot(vec_col, plane_lit) >= 0, F.lit(1).cast("long")) \
+            .otherwise(F.lit(0).cast("long"))
+        bucket = F.shiftleft(bucket, 1).bitwiseOR(bit)
+    return df.withColumn(out_col, bucket)
+
+
+def ann_topk_lsh(probes: DataFrame, corpus: DataFrame, k: int = 5, *,
+                 probe_id: str = "probe_id", corpus_id: str = "neighbor_id",
+                 vec_col: str = "embedding", dim: int = 64,
+                 n_planes: int = 8, n_tables: int = 4) -> DataFrame:
+    """Approximate top-k: multi-table hyperplane LSH -> equi-join on
+    (table, bucket) -> exact cosine refine -> window top-k.
+
+    The scale path: the corpus is bucketed once (write it partitioned
+    by bucket for reuse); each probe touches only its colliding
+    buckets — an equi-join Catalyst can plan, AQE can skew-split, and
+    the same salting machinery as hot spatial cells applies to hot
+    buckets."""
+    def bucketed(df, idc):
+        parts = []
+        for t in range(n_tables):
+            b = lsh_bucket(df.select(F.col(idc), F.col(vec_col)),
+                           vec_col=vec_col, dim=dim, n_planes=n_planes,
+                           seed=100 + t, out_col="bucket")
+            parts.append(b.withColumn("tbl", F.lit(t)))
+        out = parts[0]
+        for x in parts[1:]:
+            out = out.unionByName(x)
+        return out
+
+    p = bucketed(probes, probe_id).withColumnRenamed(vec_col, "_pv")
+    c = bucketed(corpus, corpus_id).withColumnRenamed(vec_col, "_cv")
+    cand = (p.join(c, ["tbl", "bucket"])
+            .where(F.col(probe_id) != F.col(corpus_id))
+            .dropDuplicates([probe_id, corpus_id]))
+    sim = _dot("_pv", "_cv") / (_norm("_pv") * _norm("_cv"))
+    w = Window.partitionBy(probe_id).orderBy(F.col("sim").desc(),
+                                             F.col(corpus_id).asc())
+    return (cand.withColumn("sim", sim)
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(probe_id, corpus_id, "sim", "rank"))
+
+
+def ivf_assign(df: DataFrame, centroids: list[list[float]],
+               vec_col: str = "embedding", out_col: str = "ivf_cell") -> DataFrame:
+    """IVF coarse quantization: assign each vector to its nearest
+    centroid (small centroid list unrolled as Catalyst expressions).
+    Centroids come from any offline clustering; pair with
+    ``ivf_topk``-style probing: join probes to their n_probe nearest
+    cells only."""
+    best_id = F.lit(-1).cast("int")
+    best_d = F.lit(float("inf"))
+    for i, cvec in enumerate(centroids):
+        lit = F.array(*[F.lit(float(v)) for v in cvec])
+        d = F.aggregate(F.zip_with(vec_col, lit, lambda x, y: (x.cast("double") - y) ** 2),
+                        F.lit(0.0), lambda acc, v: acc + v)
+        cond = d < best_d
+        best_id = F.when(cond, F.lit(i).cast("int")).otherwise(best_id)
+        best_d = F.when(cond, d).otherwise(best_d)
+    return df.withColumn(out_col, best_id)

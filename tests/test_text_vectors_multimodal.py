@@ -1,0 +1,144 @@
+"""Tests for the training-data pipeline operators: dedup (exact,
+MinHash-LSH, SimHash), language ID, quality scores, ANN (brute-force
+vs LSH), multimodal plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from spark_geo import multimodal as MM
+from spark_geo import text as TX
+from spark_geo import vectors as VX
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = [
+        (0, "the quick brown fox jumps over the lazy dog", "en"),
+        (1, "the quick brown fox jumps over the lazy dog", "en"),      # exact dup of 0
+        (2, "the quick brown fox leaps over the lazy dog", "en"),      # near dup of 0
+        (3, "der schnelle braune fuchs springt und ist nicht mit", "de"),
+        (4, "le renard brun rapide saute dans la haie et le champ", "fr"),
+        (5, "completely different content about spark engines", "en"),
+        (6, "el zorro marron rapido salta con la valla por el campo", "es"),
+    ]
+    return spark.createDataFrame(base, "doc_id long, text string, lang string").cache()
+
+
+def test_exact_dedup(spark, docs):
+    d = TX.exact_dedup(docs)
+    rows = {r["keeper"]: r["n_copies"] for r in d.collect()}
+    assert rows[0] == 2  # docs 0 and 1 identical
+    assert sum(rows.values()) == 7
+    kept = TX.dedup_keep_first(docs)
+    assert kept.count() == 6
+    assert {r["doc_id"] for r in kept.select("doc_id").collect()} == {0, 2, 3, 4, 5, 6}
+
+
+def test_minhash_lsh_candidates(spark, docs):
+    cand = {(r["da"], r["db"]) for r in
+            TX.lsh_candidate_pairs(docs, n_hashes=32, bands=8).collect()}
+    assert (0, 1) in cand  # identical docs always collide
+    assert (0, 2) in cand  # 8/10 token overlap -> high J
+    assert (0, 5) not in cand
+
+
+def test_jaccard_pairs_with_candidates(spark, docs):
+    cand = TX.lsh_candidate_pairs(docs, n_hashes=32, bands=8)
+    verified = TX.jaccard_pairs(docs, threshold=0.7, candidates=cand)
+    got = {(r["da"], r["db"]): r["jaccard"] for r in verified.collect()}
+    assert got[(0, 1)] == 1.0
+    assert (0, 2) in got and 0.7 <= got[(0, 2)] < 1.0
+
+
+def test_simhash_near_dups(spark, docs):
+    sh = {r["doc_id"]: r["simhash"] for r in TX.simhash(docs).collect()}
+    assert sh[0] == sh[1]  # identical text -> identical fingerprint
+    ham02 = bin(sh[0] ^ sh[2]).count("1")
+    ham05 = bin(sh[0] ^ sh[5]).count("1")
+    assert ham02 < ham05  # near-dup closer than unrelated
+    nd = {(r["da"], r["db"]): r["hamming"] for r in
+          TX.simhash_near_dups(docs, max_hamming=ham02).collect()}
+    assert nd[(0, 1)] == 0
+    assert (0, 2) in nd
+
+
+def test_doc_fingerprint_normalizes(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello  World"), (1, " hello world ")], "doc_id long, text string")
+    fp = [r["fingerprint"] for r in TX.doc_fingerprint(df).orderBy("doc_id").collect()]
+    assert fp[0] == fp[1]
+
+
+def test_lang_id(spark, docs):
+    got = {r["doc_id"]: r["lang_pred"] for r in TX.lang_id(docs).collect()}
+    assert got[0] == "en" and got[3] == "de" and got[4] == "fr" and got[6] == "es"
+    und = TX.lang_id(docs.sparkSession.createDataFrame(
+        [(9, "zzz qqq xxx")], "doc_id long, text string"))
+    assert und.first()["lang_pred"] == "und"
+
+
+def test_quality_scores(spark, docs):
+    q = TX.quality_scores(docs).where(F.col("doc_id") == 0).first()
+    assert q["n_tokens"] == 9
+    assert 0 < q["alpha_ratio"] <= 1
+    assert q["stopword_ratio"] > 0
+
+
+def test_cosine_topk_and_lsh_recall(spark):
+    rng = np.random.RandomState(3)
+    base = rng.normal(size=(40, 16)).astype(float)
+    # make ids 20..39 near-duplicates of 0..19
+    base[20:] = base[:20] + rng.normal(scale=0.05, size=(20, 16))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>") \
+        .select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    probes = corpus.where(F.col("neighbor_id") < 5).select(
+        F.col("neighbor_id").alias("probe_id"), "embedding")
+    exact = VX.cosine_topk(probes, corpus, k=1, corpus_id="neighbor_id")
+    got = {r["probe_id"]: r["neighbor_id"] for r in exact.collect()}
+    for i in range(5):
+        assert got[i] == i + 20  # the planted near-duplicate
+    # LSH path finds the same top-1 for most probes
+    approx = VX.ann_topk_lsh(probes, corpus, k=1, dim=16, n_planes=6, n_tables=6)
+    agot = {r["probe_id"]: r["neighbor_id"] for r in approx.collect()}
+    hits = sum(1 for i in range(5) if agot.get(i) == i + 20)
+    assert hits >= 4
+
+
+def test_ivf_assign(spark):
+    rows = [(0, [0.0, 0.0]), (1, [10.0, 10.0]), (2, [0.5, -0.5])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = VX.ivf_assign(df, centroids=[[0.0, 0.0], [10.0, 10.0]])
+    got = {r["vec_id"]: r["ivf_cell"] for r in out.collect()}
+    assert got == {0: 0, 1: 1, 2: 0}
+
+
+def test_multimodal_features(spark):
+    media = MM.synth_media(spark, 20)
+    feats = MM.extract_image_features(media, dim=8)
+    rows = feats.collect()
+    assert len(rows) == 20
+    for r in rows:
+        v = np.asarray(r["feature"])
+        assert len(v) == 8
+        np.testing.assert_allclose(np.linalg.norm(v), 1.0, rtol=1e-5)
+    # determinism: same payload -> same feature
+    again = {r["media_id"]: r["feature"] for r in
+             MM.extract_image_features(media, dim=8).collect()}
+    assert again[0] == rows[0]["feature"] or again[rows[0]["media_id"]] == rows[0]["feature"]
+
+
+def test_multimodal_real_decoder_raises(spark):
+    media = MM.synth_media(spark, 2)
+    with pytest.raises(Exception) as ei:
+        MM.extract_image_features(media, decoder="real").collect()
+    assert "NotImplementedError" in str(ei.value) or "decode requires" in str(ei.value)
+
+
+def test_sample_frames(spark):
+    media = MM.synth_media(spark, 3, media_type="video", payload_bytes=3000)
+    frames = MM.sample_frames(media, every_n=10)
+    rows = frames.collect()
+    assert len(rows) == 9  # 30 fake frames per video, every 10th -> 3 each
+    assert all(len(r["frame"]) > 0 for r in rows)
