@@ -322,6 +322,64 @@ def q_embedding_norms(spark, sf_dir):
             .orderBy("label"))
 
 
+def q_knn_all_cells(spark, sf_dir):
+    """Distributed ring-expansion nearest_all (cell grid, all ties) —
+    the large✕large kNN plan, oracle-checked against the SQL min-
+    distance window."""
+    ship_package(spark)
+    pts = _cust_points(spark, sf_dir).select(
+        F.col("c_custkey").alias("left_id"), F.col("point").alias("geom"))
+    supp = _supp_points(spark, sf_dir).select(
+        F.col("s_suppkey").alias("right_id"), F.col("point").alias("geom"))
+    nn = SK.cell_nearest_all(pts, supp, left_geom="geom", right_geom="geom",
+                             left_id="left_id", right_id="right_id",
+                             res=5, max_rings=40)
+    return nn.select(F.col("left_id").alias("c_custkey"),
+                     F.col("right_id").alias("s_suppkey"))
+
+
+def q_line_interpolate(spark, sf_dir):
+    """line_interpolate_point along a supplier-derived segment at a
+    key-derived fraction (reference linear.py:15-53)."""
+    ship_package(spark)
+    s = _supp_points(spark, sf_dir)
+    frac = (F.pmod(F.col("s_suppkey"), F.lit(10)) / 10.0)
+    line = SG.st_from_wkt(F.format_string(
+        "LINESTRING (%.6f %.6f, %.6f %.6f)",
+        F.col("lon"), F.col("lat"), F.col("lon") + 8.0, F.col("lat")))
+    p = SG.st_line_interpolate_point(line, frac, normalized=True)
+    return s.select("s_suppkey",
+                    F.round(SG.st_x(p), 6).alias("px_r"),
+                    F.round(SG.st_y(p), 6).alias("py_r")).orderBy("s_suppkey")
+
+
+def q_simhash_dups(spark, sf_dir):
+    """SimHash near-dup pairs over documents (rows-only: 64-bit
+    fingerprint banding is not ANSI-SQL-expressible; exactness is
+    tested against hamming distance in tests/)."""
+    from spark_geo import text as TX
+    d = _load(spark, sf_dir, "documents")
+    return TX.simhash_near_dups(d, max_hamming=16).orderBy("da", "db")
+
+
+def q_lang_id(spark, sf_dir):
+    """Stopword-profile language id counts (rows-only; deterministic)."""
+    from spark_geo import text as TX
+    d = _load(spark, sf_dir, "documents")
+    return (TX.lang_id(d).groupBy("lang", "lang_pred")
+            .agg(F.count(F.lit(1)).alias("n")).orderBy("lang", "lang_pred"))
+
+
+def q_rasterize_area(spark, sf_dir):
+    """rasterize + coverage-dissolve roundtrip: per-polygon tile pieces
+    dissolve back to the full box area (raster<->vector invariant)."""
+    ship_package(spark)
+    b = _nation_boxes(spark, sf_dir).select("polygon_id", "geom")
+    r = TL.rasterize(b, res=5)
+    d = TL.dissolve_tiles(r, "polygon_id")
+    return d.select("polygon_id", F.round("area", 6).alias("area_r")).orderBy("polygon_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pip_join_count": q_pip_join_count,
@@ -342,6 +400,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "text_quality": q_text_quality,
         "embedding_norms": q_embedding_norms,
+        "knn_all_cells": q_knn_all_cells,
+        "line_interpolate": q_line_interpolate,
+        "simhash_dups": q_simhash_dups,
+        "lang_id": q_lang_id,
+        "rasterize_area": q_rasterize_area,
     }
 
 
@@ -481,9 +544,32 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(SQRT(list_dot_product(embedding, embedding))), 5) AS avg_norm_r
             FROM embeddings GROUP BY label ORDER BY label
         """,
-        # minhash_candidates: intentionally omitted (LSH banding is not
-        # SQL-expressible; driver records rows-only, exactness tested in
-        # tests/test_entry.py against the Jaccard oracle)
+        "knn_all_cells": f"""
+            WITH d AS (
+              SELECT c.c_custkey, s.s_suppkey,
+                     SQRT(POWER({CUST_LON} - {SUPP_LON}, 2)
+                        + POWER({CUST_LAT} - {SUPP_LAT}, 2)) AS dist
+              FROM customer c, supplier s),
+            m AS (SELECT c_custkey, MIN(dist) AS dmin FROM d GROUP BY 1)
+            SELECT d.c_custkey, d.s_suppkey
+            FROM d JOIN m ON d.c_custkey = m.c_custkey AND d.dist = m.dmin
+        """,
+        "line_interpolate": f"""
+            SELECT s_suppkey,
+                   ROUND(ROUND({SUPP_LON}, 6)
+                       + 8.0 * ((s_suppkey % 10) / 10.0), 6) AS px_r,
+                   ROUND(ROUND({SUPP_LAT}, 6), 6) AS py_r
+            FROM supplier ORDER BY 1
+        """,
+        "rasterize_area": """
+            SELECT n_nationkey::BIGINT AS polygon_id,
+                   ROUND(70.0 * 34.0, 6) AS area_r
+            FROM nation ORDER BY 1
+        """,
+        # minhash_candidates, simhash_dups, lang_id: intentionally
+        # omitted (LSH banding / 64-bit fingerprints / argmax marker
+        # scoring are not ANSI-SQL-expressible; driver records
+        # rows-only, exactness tested in tests/)
     }
 
 
