@@ -333,7 +333,7 @@ def q_knn_all_cells(spark, sf_dir):
         F.col("s_suppkey").alias("right_id"), F.col("point").alias("geom"))
     nn = SK.cell_nearest_all(pts, supp, left_geom="geom", right_geom="geom",
                              left_id="left_id", right_id="right_id",
-                             res=5, max_rings=40)
+                             res=3, max_rings=16, shells_per_round=4)
     return nn.select(F.col("left_id").alias("c_custkey"),
                      F.col("right_id").alias("s_suppkey"))
 

@@ -132,12 +132,16 @@ def cell_nearest_all(left: DataFrame, right: DataFrame, *,
                      left_geom: str = "geom", right_geom: str = "geom",
                      left_id: str = "left_id", right_id: str = "right_id",
                      res: int = 7, max_rings: int = 16,
+                     shells_per_round: int = 4,
                      max_distance: float | None = None) -> DataFrame:
     """Distributed all-ties nearest for point✕point via cell rings.
 
-    Returns (left_id, right_id, distance); left rows with no right
-    point within ``max_rings`` cells (or ``max_distance``) are omitted
-    — inner-join semantics like the reference."""
+    Phase 1 probes ``shells_per_round`` ring shells per driver round
+    (fewer Spark jobs on sparse data; slight over-probe is harmless —
+    phase 2 recomputes the exact disk anyway).  Returns (left_id,
+    right_id, distance); left rows with no right point within
+    ``max_rings`` cells (or ``max_distance``) are omitted —
+    inner-join semantics like the reference."""
     h = 180.0 / (1 << res)  # cell height (deg); width is 2h
     if max_distance is not None:
         max_rings = min(max_rings, int(np.ceil(max_distance / h)) + 1)
@@ -155,15 +159,18 @@ def cell_nearest_all(left: DataFrame, right: DataFrame, *,
         .withColumn("_cell", SG.st_cell_lonlat(F.col("_rx"), F.col("_ry"), res))
         .cache())
 
-    # phase 1: grow ring shells until each left row has a first hit
+    # phase 1: grow ring-shell groups until each left row has a first hit
     remaining = l
     first_hits = []  # DataFrames of (_lid, _lx, _ly, _d0)
-    for k in range(max_rings + 1):
+    k = 0
+    while k <= max_rings:
         if remaining.limit(1).count() == 0:
             break
+        k_hi = min(k + shells_per_round - 1, max_rings)
         probes = remaining.withColumn(
-            "_cell", F.explode(_ring_shell_udf(
-                SG.st_cell_lonlat(F.col("_lx"), F.col("_ly"), res), k)))
+            "_cell", F.explode(_shell_range_udf(
+                SG.st_cell_lonlat(F.col("_lx"), F.col("_ly"), res), k, k_hi)))
+        k = k_hi + 1
         hits = (probes.join(r, "_cell")
                 .withColumn("_d", F.hypot(F.col("_lx") - F.col("_rx"),
                                           F.col("_ly") - F.col("_ry"))))
@@ -203,15 +210,20 @@ def cell_nearest_all(left: DataFrame, right: DataFrame, *,
     return out
 
 
-def _ring_shell_udf(cell_col, k: int):
+def _shell_range_udf(cell_col, k_lo: int, k_hi: int):
+    """Cells at Chebyshev distance in [k_lo, k_hi] = k_ring(k_hi) minus
+    k_ring(k_lo - 1)."""
     @pandas_udf(T.ArrayType(T.LongType()))
     def _udf(c: pd.Series) -> pd.Series:
         out = []
         for v in c:
             if v is None or v < 0:
                 out.append([])
-            else:
-                out.append([int(x) for x in K_cell.ring_shell(int(v), k)])
+                continue
+            outer = set(K_cell.k_ring(int(v), k_hi).tolist())
+            if k_lo > 0:
+                outer -= set(K_cell.k_ring(int(v), k_lo - 1).tolist())
+            out.append(sorted(int(x) for x in outer))
         return pd.Series(out, dtype=object)
     return _udf(cell_col)
 

@@ -1,0 +1,75 @@
+"""Structured Streaming operators: streaming pages -> tile counts.
+
+The reference has no streams (SURVEY.md §1.4); this is the graft's
+Spark-native extension: a pages stream (e.g. a crawl landing zone)
+geocoded and aggregated into event-time tile windows with late-data
+watermarks.  The same geocode/cell expressions as the batch pipeline —
+one code path, two execution modes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from . import functions as SG
+from . import pipeline as PL
+
+PAGES_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("warc_ts", T.TimestampType()),
+    T.StructField("html", T.BinaryType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("lang", T.StringType()),
+])
+
+
+def read_pages_stream(spark: SparkSession, path: str,
+                      max_files_per_trigger: int = 16) -> DataFrame:
+    """File-source stream over a pages landing directory (parquet)."""
+    return (spark.readStream
+            .schema(PAGES_SCHEMA)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(path))
+
+
+def stream_tile_counts(pages_stream: DataFrame, res: int = 7,
+                       window: str = "10 minutes",
+                       watermark: str = "30 minutes") -> DataFrame:
+    """Event-time windowed per-cell page counts with a late-data
+    watermark — the streaming form of tiles.tile_stats."""
+    pts = PL.geocode(pages_stream).where(F.col("lon").isNotNull())
+    cells = pts.withColumn("cell", SG.st_cell_lonlat(F.col("lon"), F.col("lat"), res))
+    return (cells.withWatermark("warc_ts", watermark)
+            .groupBy(F.window("warc_ts", window).alias("w"), F.col("cell"))
+            .agg(F.count(F.lit(1)).alias("n_pages"),
+                 F.approx_count_distinct("url").alias("approx_urls"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "cell", "n_pages", "approx_urls"))
+
+
+def stream_region_counts(pages_stream: DataFrame, layer: DataFrame,
+                         res: int = 7, window: str = "10 minutes",
+                         watermark: str = "30 minutes") -> DataFrame:
+    """Streaming spatial join: the broadcast-STRtree probe works
+    unchanged on a stream (mapInPandas is stream-capable), then
+    event-time windowed per-region counts."""
+    from . import join as SJ
+    pts = PL.geocode(pages_stream).where(F.col("lon").isNotNull())
+    joined = SJ.broadcast_lonlat_join(
+        pts.select("url", "warc_ts", "lon", "lat"), layer,
+        lon="lon", lat="lat", predicate="intersects",
+        right_id="polygon_id", cell_res=res, keep=["url", "warc_ts"])
+    return (joined.withWatermark("warc_ts", watermark)
+            .groupBy(F.window("warc_ts", window).alias("w"), F.col("polygon_id"))
+            .agg(F.count(F.lit(1)).alias("n_pages"))
+            .select(F.col("w.start").alias("window_start"),
+                    "polygon_id", "n_pages"))
+
+
+def run_to_memory(stream_df: DataFrame, name: str):
+    """Test/debug helper: complete-mode memory sink; returns the query
+    (caller calls processAllAvailable + stop)."""
+    return (stream_df.writeStream.format("memory")
+            .queryName(name).outputMode("complete").start())

@@ -1,0 +1,88 @@
+"""Aggregates, streaming, and CLI-parser tests."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from spark_geo import aggregates as AG
+from spark_geo import pipeline as PL
+from spark_geo import streaming as ST
+from spark_geo.kernel import wkb as K_wkb
+from spark_geo.kernel.geom import Geom
+
+
+def test_total_bounds(spark):
+    rows = [(0, K_wkb.dumps(Geom.box(0, 0, 2, 2))),
+            (1, K_wkb.dumps(Geom.point(5, -3))),
+            (2, None)]
+    df = spark.createDataFrame(rows, "id long, geom binary")
+    assert AG.total_bounds(df) == (0.0, -3.0, 5.0, 2.0)
+
+
+def test_union_all_groups(spark):
+    rows = [(0, K_wkb.dumps(Geom.box(0, 0, 1, 1))),
+            (0, K_wkb.dumps(Geom.box(2, 0, 3, 1))),
+            (1, None), (1, None),
+            (2, K_wkb.dumps(Geom.box(0, 0, 4, 4)))]
+    df = spark.createDataFrame(rows, "grp long, geom binary")
+    from spark_geo import functions as SG
+    out = AG.union_all(df, "grp")
+    got = {r["grp"]: r["geom"] for r in out.collect()}
+    assert K_wkb.loads(got[0]).type_id == 6  # multipolygon of 2 boxes
+    assert got[1] is None  # all-None group -> None (set_operations.py:389-396)
+    areas = {r["grp"]: r["a"] for r in
+             out.select("grp", SG.st_area("geom").alias("a")).collect()}
+    assert areas[0] == 2.0 and areas[2] == 16.0
+
+
+def test_intersection_all(spark):
+    rows = [(0, K_wkb.dumps(Geom.box(0, 0, 4, 4))),
+            (0, K_wkb.dumps(Geom.box(2, 2, 6, 6))),
+            (0, K_wkb.dumps(Geom.box(3, 3, 8, 8)))]
+    df = spark.createDataFrame(rows, "grp long, geom binary")
+    out = AG.intersection_all(df, "grp").first()
+    g = K_wkb.loads(out["geom"])
+    assert g.bounds() == (3, 3, 4, 4)
+
+
+def test_streaming_tile_counts(spark, tmp_path):
+    src = str(tmp_path / "stream_src")
+    PL.synth_pages(spark, 500).write.mode("overwrite").parquet(src)
+    stream = ST.read_pages_stream(spark, src)
+    assert stream.isStreaming
+    counts = ST.stream_tile_counts(stream, res=5, window="1 hour",
+                                   watermark="2 hours")
+    q = ST.run_to_memory(counts, "tiles_test")
+    try:
+        q.processAllAvailable()
+        total = spark.sql("select sum(n_pages) s from tiles_test").first()["s"]
+        assert total == 500
+        ncells = spark.sql("select count(distinct cell) c from tiles_test").first()["c"]
+        assert ncells > 10
+    finally:
+        q.stop()
+
+
+def test_streaming_region_counts(spark, tmp_path):
+    src = str(tmp_path / "stream_src2")
+    PL.synth_pages(spark, 300).write.mode("overwrite").parquet(src)
+    layer = PL.make_world_layer(spark)
+    stream = ST.read_pages_stream(spark, src)
+    out = ST.stream_region_counts(stream, layer, res=5, window="1 hour")
+    q = ST.run_to_memory(out, "regions_test")
+    try:
+        q.processAllAvailable()
+        total = spark.sql("select sum(n_pages) s from regions_test").first()["s"]
+        assert total >= 300  # concave/holed overlap adds a few
+    finally:
+        q.stop()
+
+
+def test_cli_parser():
+    from spark_geo.cli import build_parser, main
+    p = build_parser()
+    args = p.parse_args(["--synth-pages", "100", "--out", "/tmp/x"])
+    assert args.synth_pages == 100 and args.res == 7
+    with pytest.raises(SystemExit):
+        p.parse_args(["--synth-pages", "100"])  # missing --out
+    assert main(["--out", "/tmp/x"]) == 2  # neither --pages nor --synth-pages
