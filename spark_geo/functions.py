@@ -550,6 +550,90 @@ def st_shortest_line(a: pd.Series, b: pd.Series) -> pd.Series:
     return _wkbs([K_lin.shortest_line(x, y) for x, y in zip(ga, gb)])
 
 
+# -- geojson io (reference io.py:249-295, :429-479) ------------------------
+
+@pandas_udf(T.BinaryType())
+def st_from_geojson(s: pd.Series) -> pd.Series:
+    """from_geojson, on_invalid='ignore' -> NULL."""
+    from .kernel import geojson as K_gj
+    out = []
+    for v in s:
+        if v is None:
+            out.append(None)
+            continue
+        try:
+            out.append(K_wkb.dumps(K_gj.from_geojson(v)))
+        except (ValueError, KeyError, TypeError):
+            out.append(None)
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(T.StringType())
+def st_as_geojson(b: pd.Series) -> pd.Series:
+    """to_geojson."""
+    from .kernel import geojson as K_gj
+    return pd.Series([None if v is None else K_gj.to_geojson(K_wkb.loads(_b(v)))
+                      for v in b], dtype=object)
+
+
+# -- relate (reference predicates.py:953-1007) ------------------------------
+
+@pandas_udf(T.StringType())
+def st_relate(a: pd.Series, b: pd.Series) -> pd.Series:
+    """DE-9IM matrix string."""
+    from .kernel import relate as K_rel
+    ga, gb = _geoms(a), _geoms(b)
+    return pd.Series([K_rel.relate(x, y) for x, y in zip(ga, gb)], dtype=object)
+
+
+def st_relate_pattern(a, b, pattern: str):
+    from .kernel import relate as K_rel
+
+    @pandas_udf(T.BooleanType())
+    def _udf(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        ga, gb = _geoms(sa), _geoms(sb)
+        return pd.Series([K_rel.relate_pattern(x, y, pattern)
+                          for x, y in zip(ga, gb)])
+    return _udf(a, b)
+
+
+# -- constructive tail -------------------------------------------------------
+
+st_oriented_envelope = _unary_constructive(K_con.oriented_envelope)
+st_make_valid = _unary_constructive(K_con.make_valid)
+
+
+def st_minimum_bounding_circle(col, quadsegs: int = 8):
+    @pandas_udf(T.BinaryType())
+    def _udf(b: pd.Series) -> pd.Series:
+        return _wkbs([K_con.minimum_bounding_circle(
+            None if v is None else K_wkb.loads(_b(v)), quadsegs) for v in b])
+    return _udf(col)
+
+
+def st_snap(col, ref_col, tolerance: float):
+    @pandas_udf(T.BinaryType())
+    def _udf(b: pd.Series, r: pd.Series) -> pd.Series:
+        gb, gr = _geoms(b), _geoms(r)
+        return _wkbs([K_con.snap(x, y, tolerance) for x, y in zip(gb, gr)])
+    return _udf(col, ref_col)
+
+
+@pandas_udf(T.BinaryType())
+def st_polygonize_agg(lines: pd.Series) -> pd.Series:
+    """Use with groupBy().agg(collect_list(...)) then this over the
+    array column — or call kernel.construct.polygonize directly in
+    applyInPandas (reference constructive.py:530-580)."""
+    out = []
+    for arr in lines:
+        if arr is None:
+            out.append(None)
+            continue
+        geoms = [None if v is None else K_wkb.loads(_b(v)) for v in arr]
+        out.append(K_wkb.dumps(K_con.polygonize(geoms)))
+    return pd.Series(out, dtype=object)
+
+
 # -- cell index ---------------------------------------------------------
 
 def st_cell(geom_col, res: int):

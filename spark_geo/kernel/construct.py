@@ -15,7 +15,7 @@ from __future__ import annotations
 import numpy as np
 
 from .geom import (GEOMETRYCOLLECTION, LINEARRING, LINESTRING, MULTILINESTRING,
-                   MULTIPOINT, MULTIPOLYGON, POINT, POLYGON, Geom)
+                   MULTIPOINT, MULTIPOLYGON, POINT, POLYGON, Geom, _close_ring)
 from . import measure as M
 from . import predicates as P
 
@@ -601,6 +601,132 @@ def difference(a: Geom | None, b: Geom | None) -> Geom | None:
         return Geom(GEOMETRYCOLLECTION)
     raise NotImplementedError(
         "partial-overlap polygon difference not implemented in v1 (SURVEY.md §7.2)")
+
+
+def oriented_envelope(g: Geom | None) -> Geom | None:
+    """Minimum-area rotated rectangle via rotating calipers over the
+    convex hull (reference constructive.py:827-864, GEOS>=3.6)."""
+    if g is None:
+        return None
+    hull = convex_hull(g)
+    if hull is None or hull.type_id != POLYGON:
+        return hull  # degenerate: point/line hulls are their own answer
+    pts = hull.rings[0][:-1]
+    n = len(pts)
+    best = (np.inf, None)
+    for i in range(n):
+        e = pts[(i + 1) % n] - pts[i]
+        L = np.hypot(*e)
+        if L == 0:
+            continue
+        ux, uy = e / L            # edge direction
+        vx, vy = -uy, ux          # normal
+        pu = pts @ np.array([ux, uy])
+        pv = pts @ np.array([vx, vy])
+        area = (pu.max() - pu.min()) * (pv.max() - pv.min())
+        if area < best[0]:
+            corners = []
+            for a, b in ((pu.min(), pv.min()), (pu.max(), pv.min()),
+                         (pu.max(), pv.max()), (pu.min(), pv.max())):
+                corners.append((a * ux + b * vx, a * uy + b * vy))
+            corners.append(corners[0])
+            best = (area, np.asarray(corners))
+    if best[1] is None:
+        return hull
+    return Geom(POLYGON, rings=[best[1]])
+
+
+def minimum_bounding_circle(g: Geom | None, quadsegs: int = 8) -> Geom | None:
+    """Minimum bounding circle as a polygon (reference
+    constructive.py:866-893, GEOS>=3.8) — Welzl center/radius +
+    regular-gon ring like buffer()."""
+    if g is None:
+        return None
+    if g.is_empty:
+        return Geom(POLYGON)
+    c, r = M._welzl(np.unique(M.vertices(g), axis=0))
+    if r == 0:
+        return Geom.point(float(c[0]), float(c[1]))
+    ang = np.arange(4 * quadsegs) * (np.pi / 2) / quadsegs
+    ring = c + np.column_stack([np.cos(ang), np.sin(ang)]) * r
+    ring = np.vstack([ring, ring[:1]])
+    return Geom(POLYGON, rings=[ring])
+
+
+def make_valid(g: Geom | None) -> Geom | None:
+    """Repair common invalidities (reference constructive.py:463-480,
+    GEOS>=3.8).  v1 scope: close unclosed rings, drop degenerate
+    (<4-point / zero-area) rings, normalize ring orientation, recurse
+    into collections.  Self-intersection rebuilds (bowties) deferred."""
+    if g is None:
+        return None
+    if g.type_id == POLYGON:
+        rings = []
+        for k, r in enumerate(g.rings):
+            if len(r) == 0:
+                continue
+            rr = _close_ring(r)
+            if len(rr) < 4 or abs(M.ring_area(rr)) <= 0:
+                if k == 0:
+                    return Geom(POLYGON)
+                continue
+            rings.append(rr)
+        out = Geom(POLYGON, rings=rings) if rings else Geom(POLYGON)
+        return normalize(out)
+    if g.parts:
+        parts = [make_valid(p) for p in g.parts]
+        return Geom(g.type_id, parts=[p for p in parts if p is not None])
+    return g
+
+
+def snap(g: Geom | None, reference: Geom | None, tolerance: float) -> Geom | None:
+    """Snap vertices of g to the nearest vertex of reference within
+    tolerance (reference constructive.py:748-779 vertex-snap subset;
+    segment-snapping deferred)."""
+    if g is None:
+        return None
+    if reference is None or reference.is_empty or tolerance <= 0:
+        return g
+    ref = M.vertices(reference)
+
+    def snap_coords(c):
+        if not len(c) or not len(ref):
+            return c
+        d = np.hypot(c[:, None, 0] - ref[None, :, 0], c[:, None, 1] - ref[None, :, 1])
+        j = d.argmin(axis=1)
+        hit = d[np.arange(len(c)), j] <= tolerance
+        out = c.copy()
+        out[hit] = ref[j[hit]]
+        return out
+
+    if g.type_id == POLYGON:
+        return Geom(POLYGON, rings=[_close_ring(snap_coords(r[:-1])) for r in g.rings if len(r)])
+    if g.parts:
+        return Geom(g.type_id, parts=[snap(p, reference, tolerance) for p in g.parts])
+    return Geom(g.type_id, snap_coords(g.coords))
+
+
+def polygonize(lines) -> Geom | None:
+    """Assemble polygons from closed line loops (reference
+    constructive.py:530-580).  v1: each merged closed chain of the
+    input lines becomes a polygon shell (planar noding of crossing
+    lines deferred)."""
+    from . import linear as L
+    geoms = [g for g in lines if g is not None and not g.is_empty]
+    if not geoms:
+        return Geom(GEOMETRYCOLLECTION)
+    merged = L.line_merge(Geom(MULTILINESTRING, parts=[
+        p for g in geoms for p in (g.parts if g.parts else [g])
+        if p.type_id in (LINESTRING, LINEARRING)]))
+    chains = merged.parts if merged.parts else [merged]
+    polys = []
+    for ch in chains:
+        c = ch.coords
+        if len(c) >= 4 and np.array_equal(c[0], c[-1]):
+            polys.append(Geom(POLYGON, rings=[c.copy()]))
+    if not polys:
+        return Geom(GEOMETRYCOLLECTION)
+    return polys[0] if len(polys) == 1 else Geom(MULTIPOLYGON, parts=polys)
 
 
 # -- aggregate set ops -------------------------------------------------

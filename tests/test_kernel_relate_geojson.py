@@ -1,0 +1,122 @@
+"""relate / relate_pattern + GeoJSON kernel tests.
+
+Expected DE-9IM strings worked out by hand from the definition for the
+canonical fixture relationships (these match GEOS's documented output
+for the same shapes)."""
+
+import pytest
+
+from spark_geo.kernel import geojson as GJ
+from spark_geo.kernel import relate as R
+from spark_geo.kernel import wkt
+from spark_geo.kernel.geom import Geom
+
+BOX = Geom.box(0, 0, 2, 2)
+
+
+CASES = [
+    # point strictly inside a polygon
+    (Geom.point(1, 1), BOX, "0FFFFF212"),
+    # point on the polygon boundary
+    (Geom.point(0, 1), BOX, "F0FFFF212"),
+    # identical polygons
+    (BOX, Geom.box(0, 0, 2, 2), "2FFF1FFF2"),
+    # overlapping polygons
+    (BOX, Geom.box(1, 1, 3, 3), "212101212"),
+    # edge-touching polygons
+    (BOX, Geom.box(2, 0, 4, 2), "FF2F11212"),
+    # corner-touching polygons
+    (BOX, Geom.box(2, 2, 4, 4), "FF2F01212"),
+    # disjoint polygons
+    (BOX, Geom.box(5, 5, 6, 6), "FF2FF1212"),
+    # polygon properly containing a polygon
+    (BOX, Geom.box(0.5, 0.5, 1.5, 1.5), "212FF1FF2"),
+    # line crossing through a polygon (endpoints outside the box)
+    (Geom.linestring([(-1, 1), (3, 1)]), BOX, "101FF0212"),
+    # line fully inside a polygon
+    (Geom.linestring([(0.5, 1), (1.5, 1)]), BOX, "1FF0FF212"),
+    # two crossing lines
+    (Geom.linestring([(0, 0), (2, 2)]), Geom.linestring([(0, 2), (2, 0)]),
+     "0F1FF0102"),
+    # identical lines
+    (Geom.linestring([(0, 0), (2, 2)]), Geom.linestring([(0, 0), (2, 2)]),
+     "1FFF0FFF2"),
+    # two identical points
+    (Geom.point(1, 1), Geom.point(1, 1), "0FFFFFFF2"),
+    # two distinct points
+    (Geom.point(1, 1), Geom.point(2, 2), "FF0FFF0F2"),
+]
+
+
+@pytest.mark.parametrize("a,b,expected", CASES,
+                         ids=[c[2] for c in CASES])
+def test_relate(a, b, expected):
+    assert R.relate(a, b) == expected
+
+
+def test_relate_none():
+    assert R.relate(None, BOX) is None
+
+
+def test_relate_pattern():
+    # the reference's doctest pattern semantics
+    assert R.relate_pattern(Geom.point(1, 1), BOX, "T*F**F***")  # within
+    assert R.relate_pattern(BOX, Geom.point(1, 1), "T*****FF*")  # contains
+    assert not R.relate_pattern(Geom.point(5, 5), BOX, "T*F**F***")
+    assert R.relate_pattern(BOX, Geom.box(1, 1, 3, 3), "T*T***T**")  # overlaps
+    with pytest.raises(ValueError):
+        R.relate_pattern(BOX, BOX, "TT")
+
+
+def test_relate_consistent_with_predicates():
+    from spark_geo.kernel import predicates as P
+    pairs = [
+        (Geom.point(1, 1), BOX),
+        (BOX, Geom.box(1, 1, 3, 3)),
+        (BOX, Geom.box(2, 0, 4, 2)),
+        (BOX, Geom.box(5, 5, 6, 6)),
+        (Geom.linestring([(-1, 1), (3, 1)]), BOX),
+    ]
+    for a, b in pairs:
+        m = R.relate(a, b)
+        # intersects <=> any of II, IB, BI, BB is not F
+        assert P.intersects(a, b) == any(m[i] != "F" for i in (0, 1, 3, 4))
+        # within <=> II != F and IE == F and BE == F
+        assert P.within(a, b) == (m[0] != "F" and m[2] == "F" and m[5] == "F")
+
+
+GJ_CASES = [
+    '{"type": "Point", "coordinates": [2, 3]}',
+    '{"type": "LineString", "coordinates": [[0, 0], [1, 0], [1, 1]]}',
+    '{"type": "Polygon", "coordinates": [[[0, 0], [2, 0], [2, 2], [0, 2], [0, 0]]]}',
+    '{"type": "MultiPoint", "coordinates": [[0, 0], [1, 2]]}',
+    '{"type": "MultiPolygon", "coordinates": [[[[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]]]]}',
+    '{"type": "GeometryCollection", "geometries": [{"type": "Point", "coordinates": [1, 2]}]}',
+]
+
+
+@pytest.mark.parametrize("s", GJ_CASES)
+def test_geojson_roundtrip(s):
+    import json
+    g = GJ.from_geojson(s)
+    out = GJ.to_geojson(g)
+    assert json.loads(out) == json.loads(s)
+
+
+def test_geojson_matches_wkt():
+    g1 = GJ.from_geojson('{"type": "Polygon", "coordinates": [[[0,0],[2,0],[2,2],[0,2],[0,0]]]}')
+    g2 = wkt.from_wkt("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")
+    assert g1 == g2
+
+
+def test_geojson_feature_unwrap():
+    g = GJ.from_geojson('{"type": "Feature", "properties": {}, '
+                        '"geometry": {"type": "Point", "coordinates": [1, 2]}}')
+    assert g.type_id == 0 and tuple(g.coords[0]) == (1.0, 2.0)
+
+
+def test_geojson_invalid():
+    with pytest.raises((ValueError, KeyError)):
+        GJ.from_geojson('{"type": "Blob"}')
+    assert GJ.from_geojson(None) is None
+    assert GJ.to_geojson(None) is None
