@@ -54,6 +54,54 @@ def _wkbs(geoms) -> pd.Series:
     return pd.Series([K_wkb.dumps(g) for g in geoms], dtype=object)
 
 
+def register_sql_functions(spark) -> list[str]:
+    """Register the fixed-signature st_* functions for SQL use:
+    ``spark.sql("SELECT st_area(geom) FROM t")``.  Parameterized
+    builders (st_buffer(radius), st_cell(res), ...) remain
+    DataFrame-API-only.  Returns the registered names."""
+    fns = {
+        "st_point": st_point, "st_from_wkt": st_from_wkt,
+        "st_as_wkt": st_as_wkt, "st_from_geojson": st_from_geojson,
+        "st_as_geojson": st_as_geojson,
+        "st_x": st_x, "st_y": st_y, "st_type_id": st_type_id,
+        "st_geom_type": st_geom_type, "st_is_empty": st_is_empty,
+        "st_num_coordinates": st_num_coordinates,
+        "st_num_geometries": st_num_geometries, "st_dump": st_dump,
+        "st_bounds": st_bounds, "st_area": st_area, "st_length": st_length,
+        "st_distance": st_distance,
+        "st_intersects": st_intersects, "st_contains": st_contains,
+        "st_contains_properly": st_contains_properly, "st_within": st_within,
+        "st_covers": st_covers, "st_covered_by": st_covered_by,
+        "st_touches": st_touches, "st_crosses": st_crosses,
+        "st_overlaps": st_overlaps, "st_equals": st_equals,
+        "st_disjoint": st_disjoint, "st_relate": st_relate,
+        "st_centroid": st_centroid, "st_envelope": st_envelope,
+        "st_convex_hull": st_convex_hull, "st_boundary": st_boundary,
+        "st_reverse": st_reverse, "st_normalize": st_normalize,
+        "st_point_on_surface": st_point_on_surface,
+        "st_extract_unique_points": st_extract_unique_points,
+        "st_oriented_envelope": st_oriented_envelope,
+        "st_make_valid": st_make_valid, "st_intersection": st_intersection,
+        "st_is_closed": st_is_closed, "st_is_ring": st_is_ring,
+        "st_is_ccw": st_is_ccw, "st_is_simple": st_is_simple,
+        "st_is_valid": st_is_valid, "st_is_valid_reason": st_is_valid_reason,
+        "st_has_z": st_has_z, "st_dimensions": st_dimensions,
+        "st_num_interior_rings": st_num_interior_rings,
+        "st_exterior_ring": st_exterior_ring, "st_num_points": st_num_points,
+        "st_rings": st_rings, "st_coords": st_coords,
+        "st_hausdorff_distance": st_hausdorff_distance,
+        "st_frechet_distance": st_frechet_distance,
+        "st_minimum_bounding_radius": st_minimum_bounding_radius,
+        "st_minimum_clearance": st_minimum_clearance,
+        "st_shared_paths": st_shared_paths, "st_shortest_line": st_shortest_line,
+        "st_srid": st_srid, "st_cell_boundary": st_cell_boundary,
+        "st_force_2d": st_force_2d,
+    }
+    for name, fn in fns.items():
+        spark.udf.register(name, fn)
+    return sorted(fns)
+
+
 BOUNDS_TYPE = T.StructType([
     T.StructField("xmin", T.DoubleType()),
     T.StructField("ymin", T.DoubleType()),
@@ -541,6 +589,49 @@ def st_line_locate_point(line, point, normalized: bool = False):
 
 
 st_line_merge = _unary_constructive(K_lin.line_merge)
+
+
+@pandas_udf(T.BinaryType())
+def st_shared_paths(a: pd.Series, b: pd.Series) -> pd.Series:
+    """shared_paths (reference linear.py:115-143)."""
+    ga, gb = _geoms(a), _geoms(b)
+    return _wkbs([K_lin.shared_paths(x, y) for x, y in zip(ga, gb)])
+
+
+@pandas_udf(T.DoubleType())
+def st_minimum_clearance(b: pd.Series) -> pd.Series:
+    """minimum_clearance (reference measurement.py:260-289)."""
+    return pd.Series([K_m.minimum_clearance(
+        None if v is None else K_wkb.loads(_b(v))) for v in b])
+
+
+@pandas_udf(T.IntegerType())
+def st_srid(b: pd.Series) -> pd.Series:
+    """get_srid from EWKB; 0 when unset (reference geometry.py:177-205)."""
+    out = []
+    for v in b:
+        if v is None:
+            out.append(None)
+        else:
+            out.append(int(getattr(K_wkb.loads(_b(v)), "srid", 0)))
+    return pd.Series(out, dtype="Int32")
+
+
+def st_set_srid(col, srid: int):
+    """set_srid: re-encode with the EWKB SRID flag (reference
+    geometry.py:206-235)."""
+    @pandas_udf(T.BinaryType())
+    def _udf(b: pd.Series) -> pd.Series:
+        out = []
+        for v in b:
+            if v is None:
+                out.append(None)
+                continue
+            g = K_wkb.loads(_b(v))
+            g.srid = int(srid)
+            out.append(K_wkb.dumps(g))
+        return pd.Series(out, dtype=object)
+    return _udf(col)
 
 
 @pandas_udf(T.BinaryType())

@@ -61,16 +61,17 @@ class Geom:
     - MULTI* / COLLECTION:      ``parts`` = [Geom, ...]
     """
 
-    __slots__ = ("type_id", "coords", "rings", "parts", "has_z", "zs")
+    __slots__ = ("type_id", "coords", "rings", "parts", "has_z", "zs", "srid")
 
     def __init__(self, type_id, coords=None, rings=None, parts=None,
-                 has_z=False, zs=None):
+                 has_z=False, zs=None, srid=0):
         self.type_id = type_id
         self.coords = coords if coords is not None else _EMPTY_COORDS
         self.rings = rings if rings is not None else []
         self.parts = parts if parts is not None else []
         self.has_z = has_z
         self.zs = zs  # optional (N,) float64 Z values, parallel to coords
+        self.srid = srid  # 0 = unset (reference geometry.py:177-235)
 
     # -- constructors -------------------------------------------------
     @staticmethod

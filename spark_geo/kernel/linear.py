@@ -106,6 +106,39 @@ def line_merge(g: Geom | None) -> Geom | None:
     return Geom(MULTILINESTRING, parts=[Geom(LINESTRING, c) for c in chains])
 
 
+def shared_paths(a: Geom | None, b: Geom | None) -> Geom | None:
+    """Collinear shared segments of two lineal geometries (reference
+    linear.py:115-143): GEOMETRYCOLLECTION(MULTILINESTRING same-dir,
+    MULTILINESTRING opposite-dir)."""
+    from .geom import GEOMETRYCOLLECTION, MULTILINESTRING
+    if a is None or b is None:
+        return None
+    sa, sb = M.segments(a), M.segments(b)
+    same, opposite = [], []
+    eps = 1e-12
+    for x1, y1, x2, y2 in sa:
+        dx, dy = x2 - x1, y2 - y1
+        L2 = dx * dx + dy * dy
+        if L2 == 0:
+            continue
+        for u1, v1, u2, v2 in sb:
+            c1 = dx * (v1 - y1) - dy * (u1 - x1)
+            c2 = dx * (v2 - y1) - dy * (u2 - x1)
+            if abs(c1) > eps or abs(c2) > eps:
+                continue
+            t1 = ((u1 - x1) * dx + (v1 - y1) * dy) / L2
+            t2 = ((u2 - x1) * dx + (v2 - y1) * dy) / L2
+            lo, hi = max(min(t1, t2), 0.0), min(max(t1, t2), 1.0)
+            if hi - lo <= eps:
+                continue
+            p = np.array([[x1 + lo * dx, y1 + lo * dy],
+                          [x1 + hi * dx, y1 + hi * dy]])
+            (same if t2 > t1 else opposite).append(Geom(LINESTRING, p))
+    return Geom(GEOMETRYCOLLECTION, parts=[
+        Geom(MULTILINESTRING, parts=same),
+        Geom(MULTILINESTRING, parts=opposite)])
+
+
 def shortest_line(a: Geom | None, b: Geom | None) -> Geom | None:
     """Two-point line realizing distance(a, b) (reference
     linear.py:144-173; ufuncs.c:2002)."""

@@ -210,6 +210,39 @@ def frechet_distance(a: Geom | None, b: Geom | None, densify: float | None = Non
     return float(ca[n - 1, m - 1])
 
 
+def minimum_clearance(g: Geom | None) -> float:
+    """Smallest distance by which a vertex can move to produce an
+    invalid geometry (reference measurement.py:260-289, GEOS>=3.6):
+    min over (vertex, non-adjacent edge) distances and distinct-vertex
+    distances.  inf for geometries with no clearance notion."""
+    if g is None:
+        return np.nan
+    v = vertices(g)
+    if len(v) < 2:
+        return np.inf
+    segs = segments(g)
+    best = np.inf
+    # distinct vertex pairs
+    d = np.hypot(v[:, None, 0] - v[None, :, 0], v[:, None, 1] - v[None, :, 1])
+    iu = np.triu_indices(len(v), k=1)
+    dd = d[iu]
+    dd = dd[dd > 0]
+    if len(dd):
+        best = min(best, float(dd.min()))
+    # vertex to non-incident segments
+    for i, (x, y) in enumerate(v):
+        if not len(segs):
+            break
+        incident = ((segs[:, 0] == x) & (segs[:, 1] == y)) | \
+                   ((segs[:, 2] == x) & (segs[:, 3] == y))
+        others = segs[~incident]
+        if len(others):
+            dv = points_to_segments_dist([x], [y], others)[0]
+            if dv > 0:
+                best = min(best, float(dv))
+    return best
+
+
 def minimum_bounding_radius(g: Geom | None) -> float:
     """Radius of the minimum bounding circle (reference
     measurement.py:290-318, GEOS>=3.8) — Welzl's algorithm on vertices."""

@@ -111,11 +111,18 @@ def dumps(g: Geom | None) -> bytes | None:
     return b"".join(_enc(g))
 
 
-def _enc(g: Geom):
+def _enc(g: Geom, top: bool = True):
     z = bool(g.has_z and g.zs is not None)
     wkb_type = _LATTICE_TO_OGC[g.type_id] + (1000 if z else 0)
-    yield b"\x01"
-    yield struct.pack("<I", wkb_type)
+    srid = getattr(g, "srid", 0)
+    if top and srid:
+        # EWKB SRID flag (reference get/set_srid, geometry.py:177-235)
+        yield b"\x01"
+        yield struct.pack("<I", wkb_type | 0x20000000)
+        yield struct.pack("<i", srid)
+    else:
+        yield b"\x01"
+        yield struct.pack("<I", wkb_type)
     if g.type_id == POINT:
         if g.is_empty:
             yield struct.pack("<dd", np.nan, np.nan) if not z else struct.pack("<ddd", np.nan, np.nan, np.nan)
@@ -136,7 +143,7 @@ def _enc(g: Geom):
     else:  # multi / collection
         yield struct.pack("<I", len(g.parts))
         for p in g.parts:
-            yield from _enc(p)
+            yield from _enc(p, top=False)
 
 
 def _pack_coords(c, zs):
@@ -173,6 +180,11 @@ def _dec(b: bytes, off: int):
     off += 5
     has_z = False
     t = raw_type
+    srid = 0
+    if t & 0x20000000:  # EWKB SRID flag
+        (srid,) = struct.unpack_from(fmt + "i", b, off)
+        off += 4
+        t &= ~0x20000000
     if t & 0x80000000:  # EWKB Z flag
         has_z = True
         t &= 0x0FFFFFFF
@@ -205,8 +217,8 @@ def _dec(b: bytes, off: int):
     if type_id == POINT:
         arr = read_coords(1)
         if np.isnan(arr[0, 0]) and np.isnan(arr[0, 1]):
-            return Geom(POINT), off
-        g = Geom(POINT, np.ascontiguousarray(arr[:, :2], dtype=np.float64))
+            return Geom(POINT, srid=srid), off
+        g = Geom(POINT, np.ascontiguousarray(arr[:, :2], dtype=np.float64), srid=srid)
         if has_z:
             g.has_z, g.zs = True, np.ascontiguousarray(arr[:, 2], dtype=np.float64)
         return g, off
@@ -214,7 +226,7 @@ def _dec(b: bytes, off: int):
         (n,) = struct.unpack_from(fmt + "I", b, off)
         off += 4
         arr = read_coords(n)
-        g = Geom(LINESTRING, np.ascontiguousarray(arr[:, :2], dtype=np.float64))
+        g = Geom(LINESTRING, np.ascontiguousarray(arr[:, :2], dtype=np.float64), srid=srid)
         if has_z:
             g.has_z, g.zs = True, np.ascontiguousarray(arr[:, 2], dtype=np.float64)
         return g, off
@@ -226,7 +238,7 @@ def _dec(b: bytes, off: int):
             (n,) = struct.unpack_from(fmt + "I", b, off)
             off += 4
             rings.append(np.ascontiguousarray(read_coords(n)[:, :2], dtype=np.float64))
-        return Geom(POLYGON, rings=rings), off
+        return Geom(POLYGON, rings=rings, srid=srid), off
     # multi / collection
     (np_,) = struct.unpack_from(fmt + "I", b, off)
     off += 4
@@ -234,4 +246,4 @@ def _dec(b: bytes, off: int):
     for _ in range(np_):
         p, off = _dec(b, off)
         parts.append(p)
-    return Geom(type_id, parts=parts), off
+    return Geom(type_id, parts=parts, srid=srid), off
