@@ -380,6 +380,25 @@ def q_rasterize_area(spark, sf_dir):
     return d.select("polygon_id", F.round("area", 6).alias("area_r")).orderBy("polygon_id")
 
 
+def q_overlay_areas(spark, sf_dir):
+    """Binary overlay (intersection/union/difference/symmetric
+    difference — Greiner–Hormann path) on partially overlapping box
+    pairs; areas have exact closed forms the oracle reproduces."""
+    ship_package(spark)
+    b = _nation_boxes(spark, sf_dir)
+    sx = (F.pmod(F.col("n_nationkey"), F.lit(3)) * 15.0 + 5.0)
+    sy = (F.pmod(F.col("n_nationkey"), F.lit(2)) * 8.0 + 4.0)
+    other = SG.st_make_box(F.col("x0") + sx, F.col("y0") + sy,
+                           F.col("x0") + sx + 70.0, F.col("y0") + sy + 34.0)
+    return b.select(
+        "polygon_id",
+        F.round(SG.st_area(SG.st_intersection("geom", other)), 6).alias("inter_r"),
+        F.round(SG.st_area(SG.st_union("geom", other)), 6).alias("union_r"),
+        F.round(SG.st_area(SG.st_difference("geom", other)), 6).alias("diff_r"),
+        F.round(SG.st_area(SG.st_symmetric_difference("geom", other)), 6).alias("symdiff_r"),
+    ).orderBy("polygon_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pip_join_count": q_pip_join_count,
@@ -405,6 +424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dups": q_simhash_dups,
         "lang_id": q_lang_id,
         "rasterize_area": q_rasterize_area,
+        "overlay_areas": q_overlay_areas,
     }
 
 
@@ -565,6 +585,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_nationkey::BIGINT AS polygon_id,
                    ROUND(70.0 * 34.0, 6) AS area_r
             FROM nation ORDER BY 1
+        """,
+        "overlay_areas": """
+            WITH s AS (
+              SELECT n_nationkey::BIGINT AS polygon_id,
+                     ((n_nationkey % 3) * 15.0 + 5.0) AS sx,
+                     ((n_nationkey % 2) * 8.0 + 4.0) AS sy
+              FROM nation)
+            SELECT polygon_id,
+                   ROUND((70.0 - sx) * (34.0 - sy), 6) AS inter_r,
+                   ROUND(2 * 70.0 * 34.0 - (70.0 - sx) * (34.0 - sy), 6) AS union_r,
+                   ROUND(70.0 * 34.0 - (70.0 - sx) * (34.0 - sy), 6) AS diff_r,
+                   ROUND(2 * (70.0 * 34.0 - (70.0 - sx) * (34.0 - sy)), 6) AS symdiff_r
+            FROM s ORDER BY polygon_id
         """,
         # minhash_candidates, simhash_dups, lang_id: intentionally
         # omitted (LSH banding / 64-bit fingerprints / argmax marker

@@ -82,6 +82,9 @@ def register_sql_functions(spark) -> list[str]:
         "st_extract_unique_points": st_extract_unique_points,
         "st_oriented_envelope": st_oriented_envelope,
         "st_make_valid": st_make_valid, "st_intersection": st_intersection,
+        "st_difference": st_difference,
+        "st_symmetric_difference": st_symmetric_difference,
+        "st_union": st_union,
         "st_is_closed": st_is_closed, "st_is_ring": st_is_ring,
         "st_is_ccw": st_is_ccw, "st_is_simple": st_is_simple,
         "st_is_valid": st_is_valid, "st_is_valid_reason": st_is_valid_reason,
@@ -549,10 +552,31 @@ def st_minimum_bounding_radius(b: pd.Series) -> pd.Series:
 
 @pandas_udf(T.BinaryType())
 def st_intersection(a: pd.Series, b: pd.Series) -> pd.Series:
-    """intersection (reference set_operations.py:79-131; v1 convex-clip
-    scope, see kernel.construct.intersection)."""
+    """intersection (reference set_operations.py:79-131): convex
+    fast path + Greiner–Hormann general polygon overlay."""
     ga, gb = _geoms(a), _geoms(b)
     return _wkbs([K_con.intersection(x, y) for x, y in zip(ga, gb)])
+
+
+@pandas_udf(T.BinaryType())
+def st_difference(a: pd.Series, b: pd.Series) -> pd.Series:
+    """difference (reference set_operations.py:22-77)."""
+    ga, gb = _geoms(a), _geoms(b)
+    return _wkbs([K_con.difference(x, y) for x, y in zip(ga, gb)])
+
+
+@pandas_udf(T.BinaryType())
+def st_symmetric_difference(a: pd.Series, b: pd.Series) -> pd.Series:
+    """symmetric_difference (reference set_operations.py:168-222)."""
+    ga, gb = _geoms(a), _geoms(b)
+    return _wkbs([K_con.symmetric_difference(x, y) for x, y in zip(ga, gb)])
+
+
+@pandas_udf(T.BinaryType())
+def st_union(a: pd.Series, b: pd.Series) -> pd.Series:
+    """binary union (reference set_operations.py:258-312)."""
+    ga, gb = _geoms(a), _geoms(b)
+    return _wkbs([K_con.union(x, y) for x, y in zip(ga, gb)])
 
 
 def st_equals_exact(a, b, tolerance: float = 0.0):

@@ -574,9 +574,13 @@ def intersection(a: Geom | None, b: Geom | None) -> Geom | None:
                 if not pts:
                     return Geom(GEOMETRYCOLLECTION)
                 return pts[0] if len(pts) == 1 else Geom(MULTIPOINT, parts=pts)
+    # general polygon✕polygon: Greiner–Hormann overlay
+    if a.type_id in (POLYGON, MULTIPOLYGON) and b.type_id in (POLYGON, MULTIPOLYGON):
+        from . import overlay as O
+        return O.overlay(a, b, "intersection")
     raise NotImplementedError(
-        "general concave-polygon overlay not implemented in v1 "
-        "(SURVEY.md §7.2); one operand must be convex")
+        "intersection of non-polygonal concave operands not implemented in v1 "
+        "(SURVEY.md §7.2)")
 
 
 def _is_axis_box(g: Geom) -> bool:
@@ -588,8 +592,8 @@ def _is_axis_box(g: Geom) -> bool:
 
 
 def difference(a: Geom | None, b: Geom | None) -> Geom | None:
-    """Difference (reference set_operations.py:22-77).  v1 fast paths:
-    disjoint -> a; b covers a -> EMPTY; general subtraction deferred."""
+    """Difference (reference set_operations.py:22-77): fast paths +
+    Greiner–Hormann general overlay for polygon operands."""
     from . import predicates as P
     if a is None or b is None:
         return None
@@ -599,8 +603,27 @@ def difference(a: Geom | None, b: Geom | None) -> Geom | None:
         return a
     if P.covers(b, a):
         return Geom(GEOMETRYCOLLECTION)
+    if a.type_id in (POLYGON, MULTIPOLYGON) and b.type_id in (POLYGON, MULTIPOLYGON):
+        from . import overlay as O
+        return O.overlay(a, b, "difference")
     raise NotImplementedError(
-        "partial-overlap polygon difference not implemented in v1 (SURVEY.md §7.2)")
+        "difference of non-polygonal operands not implemented in v1 (SURVEY.md §7.2)")
+
+
+def symmetric_difference(a: Geom | None, b: Geom | None) -> Geom | None:
+    """Symmetric difference (reference set_operations.py:168-222)."""
+    if a is None or b is None:
+        return None
+    from . import overlay as O
+    return O.overlay(a, b, "symmetric_difference")
+
+
+def union(a: Geom | None, b: Geom | None) -> Geom | None:
+    """Binary union (reference set_operations.py:258-312)."""
+    if a is None or b is None:
+        return None
+    from . import overlay as O
+    return O.overlay(a, b, "union")
 
 
 def oriented_envelope(g: Geom | None) -> Geom | None:

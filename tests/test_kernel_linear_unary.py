@@ -155,5 +155,6 @@ def test_difference_fast_paths():
     a = Geom.box(0, 0, 1, 1)
     assert C.difference(a, Geom.box(5, 5, 6, 6)) == a
     assert C.difference(a, Geom.box(-1, -1, 2, 2)).is_empty
-    with pytest.raises(NotImplementedError):
-        C.difference(a, Geom.box(0.5, 0.5, 2, 2))
+    # partial overlap now routes through the general GH overlay
+    d = C.difference(a, Geom.box(0.5, 0.5, 2, 2))
+    assert M.area(d) == 0.75
