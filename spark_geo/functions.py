@@ -749,6 +749,29 @@ def st_polygonize_agg(lines: pd.Series) -> pd.Series:
     return pd.Series(out, dtype=object)
 
 
+def st_delaunay_triangles(col, only_edges: bool = False):
+    """delaunay_triangles (reference constructive.py:345-383)."""
+    from .kernel import triangulate as K_tri
+
+    @pandas_udf(T.BinaryType())
+    def _udf(b: pd.Series) -> pd.Series:
+        return _wkbs([K_tri.delaunay_triangles(
+            None if v is None else K_wkb.loads(_b(v)), only_edges) for v in b])
+    return _udf(col)
+
+
+def st_voronoi_polygons(col, only_edges: bool = False):
+    """voronoi_polygons (reference constructive.py:781-825)."""
+    from .kernel import triangulate as K_tri
+
+    @pandas_udf(T.BinaryType())
+    def _udf(b: pd.Series) -> pd.Series:
+        return _wkbs([K_tri.voronoi_polygons(
+            None if v is None else K_wkb.loads(_b(v)), only_edges=only_edges)
+            for v in b])
+    return _udf(col)
+
+
 # -- cell index ---------------------------------------------------------
 
 def st_cell(geom_col, res: int):
