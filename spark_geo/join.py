@@ -330,8 +330,16 @@ def cell_spatial_join(left: DataFrame, right: DataFrame, *,
     ``distance`` (dwithin) expands the left cells by k rings with
     k = ceil(d / cell_height) — the cell-grid analogue of the
     reference's bbox expansion (src/strtree.c:1165-1188)."""
-    lcell = F.explode(_left_cells(left[left_geom], res, distance, left_is_points)).alias("_cell")
-    l = left.select(F.col(left_id).alias("_lid"), F.col(left_geom).alias("_lgeom"), lcell)
+    if left_is_points and distance is None:
+        # points have exactly one cell: no array, no explode — one UDF
+        l = left.select(F.col(left_id).alias("_lid"),
+                        F.col(left_geom).alias("_lgeom"),
+                        SG.st_cell(left[left_geom], res).alias("_cell"))
+    else:
+        lcell = F.explode(_left_cells(left[left_geom], res, distance,
+                                      left_is_points)).alias("_cell")
+        l = left.select(F.col(left_id).alias("_lid"),
+                        F.col(left_geom).alias("_lgeom"), lcell)
     r = right.select(F.col(right_id).alias("_rid"), F.col(right_geom).alias("_rgeom"),
                      F.explode(SG.st_cell_cover(right[right_geom], res)).alias("_cell"))
     cand = l.join(r, "_cell").drop("_cell")
