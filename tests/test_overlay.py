@@ -90,3 +90,38 @@ def test_spark_overlay_udfs(spark):
         SG.st_area(SG.st_symmetric_difference(ga, gb)).alias("s"),
     ).first()
     assert (r["i"], r["u"], r["d"], r["s"]) == (4.0, 28.0, 12.0, 24.0)
+
+
+def test_union_all_dissolves_overlaps():
+    geoms = [Geom.box(0, 0, 2, 2), Geom.box(1, 1, 3, 3), Geom.box(10, 10, 11, 11)]
+    u = C.union_all(geoms)
+    # 4 + 4 - 1 overlap + 1 disjoint = 8
+    assert M.area(u) == pytest.approx(8.0, abs=1e-9)
+    # non-overlapping stays a cheap collect
+    u2 = C.union_all([Geom.box(0, 0, 1, 1), Geom.box(5, 5, 6, 6)])
+    assert M.area(u2) == pytest.approx(2.0)
+    assert C.union_all([None, None]) is None
+
+
+def test_offset_curve():
+    line = Geom.linestring([(0, 0), (10, 0)])
+    off = C.offset_curve(line, 2.0)
+    np.testing.assert_allclose(off.coords, [[0, 2], [10, 2]])
+    neg = C.offset_curve(line, -2.0)
+    np.testing.assert_allclose(neg.coords, [[0, -2], [10, -2]])
+    bent = Geom.linestring([(0, 0), (5, 0), (5, 5)])
+    offb = C.offset_curve(bent, 1.0)
+    # offset of an L going right then up, left side: starts at (0,1),
+    # miter at (4,1), ends at (4,5)
+    np.testing.assert_allclose(offb.coords[0], [0, 1])
+    np.testing.assert_allclose(offb.coords[-1], [4, 5])
+    assert C.offset_curve(None, 1.0) is None
+
+
+def test_build_area():
+    rings = wkt.from_wkt(
+        "MULTILINESTRING ((0 0, 4 0), (4 0, 4 4), (4 4, 0 0))")
+    g = C.build_area(rings)
+    assert g.type_id == 3 and M.area(g) == 8.0
+    # areal passthrough
+    assert C.build_area(A) == A
