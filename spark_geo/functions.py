@@ -46,8 +46,22 @@ def _b(v):
     return v if isinstance(v, bytes) else bytes(v)
 
 
+def _loads_safe(v):
+    """Decode WKB; malformed bytes -> None (a poisoned row must not
+    kill a 10^12-row job — mirrors on_invalid='ignore', io.py:27-29)."""
+    if v is None:
+        return None
+    try:
+        return K_wkb.loads(_b(v))
+    except (ValueError, KeyError, IndexError, struct_error):
+        return None
+
+
+from struct import error as struct_error  # noqa: E402
+
+
 def _geoms(s: pd.Series) -> list:
-    return [None if v is None else K_wkb.loads(_b(v)) for v in s]
+    return [_loads_safe(v) for v in s]
 
 
 def _wkbs(geoms) -> pd.Series:
@@ -142,8 +156,7 @@ def st_from_wkt(s: pd.Series) -> pd.Series:
 @pandas_udf(T.StringType())
 def st_as_wkt(b: pd.Series) -> pd.Series:
     """to_wkt, trim + precision 6 defaults (reference io.py:102-183)."""
-    return pd.Series([None if v is None else K_wkt.to_wkt(K_wkb.loads(_b(v)), 6)
-                      for v in b], dtype=object)
+    return pd.Series([K_wkt.to_wkt(_loads_safe(v), 6) for v in b], dtype=object)
 
 
 def st_make_box(xmin, ymin, xmax, ymax):
@@ -174,13 +187,14 @@ def st_y(b: pd.Series) -> pd.Series:
 @pandas_udf(T.IntegerType())
 def st_type_id(b: pd.Series) -> pd.Series:
     """get_type_id; -1 for None (reference geometry.py:56-90)."""
-    out = [(-1 if v is None else K_wkb.loads(_b(v)).type_id) for v in b]
+    gs = _geoms(b)
+    out = [(-1 if g is None else g.type_id) for g in gs]
     return pd.Series(out, dtype="int32")
 
 
 @pandas_udf(T.StringType())
 def st_geom_type(b: pd.Series) -> pd.Series:
-    out = [None if v is None else TYPE_NAMES[K_wkb.loads(_b(v)).type_id] for v in b]
+    out = [None if g is None else TYPE_NAMES[g.type_id] for g in _geoms(b)]
     return pd.Series(out, dtype=object)
 
 
@@ -188,13 +202,13 @@ def st_geom_type(b: pd.Series) -> pd.Series:
 def st_is_empty(b: pd.Series) -> pd.Series:
     """is_empty; None -> False is the missing/empty distinction
     (reference predicates.py:135-159)."""
-    return pd.Series([False if v is None else K_wkb.loads(_b(v)).is_empty for v in b])
+    return pd.Series([False if g is None else g.is_empty for g in _geoms(b)])
 
 
 @pandas_udf(T.IntegerType())
 def st_num_coordinates(b: pd.Series) -> pd.Series:
     """get_num_coordinates (reference geometry.py:150-176)."""
-    out = [(None if v is None else K_wkb.loads(_b(v)).num_coordinates()) for v in b]
+    out = [(_loads_safe(v).num_coordinates()) for v in b]
     return pd.Series(out, dtype="Int32")
 
 
@@ -206,8 +220,9 @@ def st_num_geometries(b: pd.Series) -> pd.Series:
         if v is None:
             out.append(None)
             continue
-        g = K_wkb.loads(_b(v))
-        out.append(len(g.parts) if g.parts else (0 if g.is_empty else 1))
+        g = _loads_safe(v)
+        out.append(None if g is None else
+                   (len(g.parts) if g.parts else (0 if g.is_empty else 1)))
     return pd.Series(out, dtype="Int32")
 
 
@@ -220,7 +235,10 @@ def st_dump(b: pd.Series) -> pd.Series:
         if v is None:
             out.append(None)
             continue
-        g = K_wkb.loads(_b(v))
+        g = _loads_safe(v)
+        if g is None:
+            out.append(None)
+            continue
         parts = g.parts if g.parts else ([] if g.is_empty else [g])
         out.append([K_wkb.dumps(p) for p in parts])
     return pd.Series(out, dtype=object)
@@ -231,8 +249,9 @@ def st_bounds(b: pd.Series) -> pd.DataFrame:
     """bounds -> struct (reference measurement.py:76-104)."""
     rows = np.full((len(b), 4), np.nan)
     for i, v in enumerate(b):
-        if v is not None:
-            rows[i] = K_wkb.loads(_b(v)).bounds()
+        g = _loads_safe(v)
+        if g is not None:
+            rows[i] = g.bounds()
     return pd.DataFrame(rows, columns=["xmin", "ymin", "xmax", "ymax"])
 
 
@@ -241,13 +260,13 @@ def st_bounds(b: pd.Series) -> pd.DataFrame:
 @pandas_udf(T.DoubleType())
 def st_area(b: pd.Series) -> pd.Series:
     """area (reference measurement.py:23-47)."""
-    return pd.Series([K_m.area(None if v is None else K_wkb.loads(_b(v))) for v in b])
+    return pd.Series([K_m.area(_loads_safe(v)) for v in b])
 
 
 @pandas_udf(T.DoubleType())
 def st_length(b: pd.Series) -> pd.Series:
     """length (reference measurement.py:152-178)."""
-    return pd.Series([K_m.length(None if v is None else K_wkb.loads(_b(v))) for v in b])
+    return pd.Series([K_m.length(_loads_safe(v)) for v in b])
 
 
 @pandas_udf(T.DoubleType())
@@ -317,7 +336,7 @@ def st_dwithin(a, b, distance: float):
 def _unary_constructive(kernel_fn):
     @pandas_udf(T.BinaryType())
     def _udf(b: pd.Series) -> pd.Series:
-        return _wkbs([kernel_fn(None if v is None else K_wkb.loads(_b(v))) for v in b])
+        return _wkbs([kernel_fn(_loads_safe(v)) for v in b])
     return _udf
 
 
@@ -335,7 +354,7 @@ def st_buffer(col, radius: float, quadsegs: int = 8):
     """buffer (reference constructive.py:82-186)."""
     @pandas_udf(T.BinaryType())
     def _udf(b: pd.Series) -> pd.Series:
-        return _wkbs([K_con.buffer(None if v is None else K_wkb.loads(_b(v)),
+        return _wkbs([K_con.buffer(_loads_safe(v),
                                    radius, quadsegs) for v in b])
     return _udf(col)
 
@@ -344,7 +363,7 @@ def st_simplify(col, tolerance: float):
     """simplify, Douglas–Peucker (reference constructive.py:712-746)."""
     @pandas_udf(T.BinaryType())
     def _udf(b: pd.Series) -> pd.Series:
-        return _wkbs([K_con.simplify(None if v is None else K_wkb.loads(_b(v)),
+        return _wkbs([K_con.simplify(_loads_safe(v),
                                      tolerance) for v in b])
     return _udf(col)
 
@@ -353,7 +372,7 @@ def st_segmentize(col, tolerance: float):
     """segmentize (reference constructive.py:677-710)."""
     @pandas_udf(T.BinaryType())
     def _udf(b: pd.Series) -> pd.Series:
-        return _wkbs([K_con.segmentize(None if v is None else K_wkb.loads(_b(v)),
+        return _wkbs([K_con.segmentize(_loads_safe(v),
                                        tolerance) for v in b])
     return _udf(col)
 
@@ -362,7 +381,7 @@ def st_clip_by_rect(col, xmin: float, ymin: float, xmax: float, ymax: float):
     """clip_by_rect (reference constructive.py:278-322)."""
     @pandas_udf(T.BinaryType())
     def _udf(b: pd.Series) -> pd.Series:
-        return _wkbs([K_con.clip_by_rect(None if v is None else K_wkb.loads(_b(v)),
+        return _wkbs([K_con.clip_by_rect(_loads_safe(v),
                                          xmin, ymin, xmax, ymax) for v in b])
     return _udf(col)
 
@@ -372,7 +391,7 @@ def st_clip_by_rect(col, xmin: float, ymin: float, xmax: float, ymax: float):
 def _unary_bool(kernel_fn):
     @pandas_udf(T.BooleanType())
     def _udf(b: pd.Series) -> pd.Series:
-        return pd.Series([kernel_fn(None if v is None else K_wkb.loads(_b(v)))
+        return pd.Series([kernel_fn(_loads_safe(v))
                           for v in b])
     return _udf
 
@@ -388,14 +407,14 @@ st_has_z = _unary_bool(K_u.has_z)
 @pandas_udf(T.StringType())
 def st_is_valid_reason(b: pd.Series) -> pd.Series:
     """is_valid_reason (reference predicates.py:392-419)."""
-    return pd.Series([K_u.is_valid_reason(None if v is None else K_wkb.loads(_b(v)))
+    return pd.Series([K_u.is_valid_reason(_loads_safe(v))
                       for v in b], dtype=object)
 
 
 @pandas_udf(T.IntegerType())
 def st_dimensions(b: pd.Series) -> pd.Series:
     """get_dimensions (reference geometry.py:91-121)."""
-    return pd.Series([K_u.get_dimensions(None if v is None else K_wkb.loads(_b(v)))
+    return pd.Series([K_u.get_dimensions(_loads_safe(v))
                       for v in b], dtype="int32")
 
 
@@ -403,7 +422,7 @@ def st_dimensions(b: pd.Series) -> pd.Series:
 def st_num_interior_rings(b: pd.Series) -> pd.Series:
     """get_num_interior_rings (reference geometry.py:448-484)."""
     return pd.Series([K_u.get_num_interior_rings(
-        None if v is None else K_wkb.loads(_b(v))) for v in b], dtype="int32")
+        _loads_safe(v)) for v in b], dtype="int32")
 
 
 st_exterior_ring = _unary_constructive(K_u.get_exterior_ring)
@@ -414,7 +433,7 @@ def st_interior_ring(col, index: int):
     @pandas_udf(T.BinaryType())
     def _udf(b: pd.Series) -> pd.Series:
         return _wkbs([K_u.get_interior_ring(
-            None if v is None else K_wkb.loads(_b(v)), index) for v in b])
+            _loads_safe(v), index) for v in b])
     return _udf(col)
 
 
@@ -423,7 +442,7 @@ def st_geometry_n(col, index: int):
     @pandas_udf(T.BinaryType())
     def _udf(b: pd.Series) -> pd.Series:
         return _wkbs([K_u.get_geometry(
-            None if v is None else K_wkb.loads(_b(v)), index) for v in b])
+            _loads_safe(v), index) for v in b])
     return _udf(col)
 
 
@@ -432,14 +451,14 @@ def st_point_n(col, index: int):
     @pandas_udf(T.BinaryType())
     def _udf(b: pd.Series) -> pd.Series:
         return _wkbs([K_u.get_point(
-            None if v is None else K_wkb.loads(_b(v)), index) for v in b])
+            _loads_safe(v), index) for v in b])
     return _udf(col)
 
 
 @pandas_udf(T.IntegerType())
 def st_num_points(b: pd.Series) -> pd.Series:
     """get_num_points (reference geometry.py:358-392)."""
-    return pd.Series([K_u.get_num_points(None if v is None else K_wkb.loads(_b(v)))
+    return pd.Series([K_u.get_num_points(_loads_safe(v))
                       for v in b], dtype="int32")
 
 
@@ -452,8 +471,9 @@ def st_rings(b: pd.Series) -> pd.Series:
         if v is None:
             out.append(None)
         else:
-            out.append([K_wkb.dumps(r) for r in
-                        K_u.get_rings(K_wkb.loads(_b(v)))])
+            g = _loads_safe(v)
+            out.append(None if g is None else
+                       [K_wkb.dumps(r) for r in K_u.get_rings(g)])
     return pd.Series(out, dtype=object)
 
 
@@ -462,7 +482,7 @@ def st_set_precision(col, grid_size: float):
     @pandas_udf(T.BinaryType())
     def _udf(b: pd.Series) -> pd.Series:
         return _wkbs([K_u.set_precision(
-            None if v is None else K_wkb.loads(_b(v)), grid_size) for v in b])
+            _loads_safe(v), grid_size) for v in b])
     return _udf(col)
 
 
@@ -474,7 +494,7 @@ def st_force_3d(col, z: float = 0.0):
     @pandas_udf(T.BinaryType())
     def _udf(b: pd.Series) -> pd.Series:
         return _wkbs([K_u.force_3d(
-            None if v is None else K_wkb.loads(_b(v)), z) for v in b])
+            _loads_safe(v), z) for v in b])
     return _udf(col)
 
 
@@ -490,7 +510,11 @@ def st_coords(b: pd.Series) -> pd.Series:
         if v is None:
             out.append(None)
             continue
-        c = K_m.vertices(K_wkb.loads(_b(v)))
+        g = _loads_safe(v)
+        if g is None:
+            out.append(None)
+            continue
+        c = K_m.vertices(g)
         out.append([{"x": float(x), "y": float(y)} for x, y in c])
     return pd.Series(out, dtype=object)
 
@@ -507,8 +531,8 @@ def st_transform_coords(col, fn):
             if v is None:
                 out.append(None)
                 continue
-            g = K_wkb.loads(_b(v))
-            out.append(K_wkb.dumps(_map_coords(g, fn)))
+            g = _loads_safe(v)
+            out.append(None if g is None else K_wkb.dumps(_map_coords(g, fn)))
         return pd.Series(out, dtype=object)
     return _udf(col)
 
@@ -545,7 +569,7 @@ def st_frechet_distance(a: pd.Series, b: pd.Series) -> pd.Series:
 def st_minimum_bounding_radius(b: pd.Series) -> pd.Series:
     """minimum_bounding_radius (reference measurement.py:290-318)."""
     return pd.Series([K_m.minimum_bounding_radius(
-        None if v is None else K_wkb.loads(_b(v))) for v in b])
+        _loads_safe(v)) for v in b])
 
 
 # -- overlay (reference §2.7) ----------------------------------------------
@@ -595,7 +619,7 @@ def st_line_interpolate_point(col, distance, normalized: bool = False):
     @pandas_udf(T.BinaryType())
     def _udf(b: pd.Series, d: pd.Series) -> pd.Series:
         return _wkbs([K_lin.line_interpolate_point(
-            None if v is None else K_wkb.loads(_b(v)), float(dv), normalized)
+            _loads_safe(v), float(dv), normalized)
             for v, dv in zip(b, d)])
     from pyspark.sql import Column
     dist_col = distance if isinstance(distance, Column) else F.lit(float(distance))
@@ -626,7 +650,7 @@ def st_shared_paths(a: pd.Series, b: pd.Series) -> pd.Series:
 def st_minimum_clearance(b: pd.Series) -> pd.Series:
     """minimum_clearance (reference measurement.py:260-289)."""
     return pd.Series([K_m.minimum_clearance(
-        None if v is None else K_wkb.loads(_b(v))) for v in b])
+        _loads_safe(v)) for v in b])
 
 
 @pandas_udf(T.IntegerType())
@@ -637,7 +661,8 @@ def st_srid(b: pd.Series) -> pd.Series:
         if v is None:
             out.append(None)
         else:
-            out.append(int(getattr(K_wkb.loads(_b(v)), "srid", 0)))
+            g = _loads_safe(v)
+            out.append(None if g is None else int(getattr(g, "srid", 0)))
     return pd.Series(out, dtype="Int32")
 
 
@@ -651,7 +676,10 @@ def st_set_srid(col, srid: int):
             if v is None:
                 out.append(None)
                 continue
-            g = K_wkb.loads(_b(v))
+            g = _loads_safe(v)
+            if g is None:
+                out.append(None)
+                continue
             g.srid = int(srid)
             out.append(K_wkb.dumps(g))
         return pd.Series(out, dtype=object)
@@ -687,8 +715,7 @@ def st_from_geojson(s: pd.Series) -> pd.Series:
 def st_as_geojson(b: pd.Series) -> pd.Series:
     """to_geojson."""
     from .kernel import geojson as K_gj
-    return pd.Series([None if v is None else K_gj.to_geojson(K_wkb.loads(_b(v)))
-                      for v in b], dtype=object)
+    return pd.Series([K_gj.to_geojson(_loads_safe(v)) for v in b], dtype=object)
 
 
 # -- relate (reference predicates.py:953-1007) ------------------------------
@@ -722,7 +749,7 @@ def st_minimum_bounding_circle(col, quadsegs: int = 8):
     @pandas_udf(T.BinaryType())
     def _udf(b: pd.Series) -> pd.Series:
         return _wkbs([K_con.minimum_bounding_circle(
-            None if v is None else K_wkb.loads(_b(v)), quadsegs) for v in b])
+            _loads_safe(v), quadsegs) for v in b])
     return _udf(col)
 
 
@@ -744,7 +771,7 @@ def st_polygonize_agg(lines: pd.Series) -> pd.Series:
         if arr is None:
             out.append(None)
             continue
-        geoms = [None if v is None else K_wkb.loads(_b(v)) for v in arr]
+        geoms = [_loads_safe(v) for v in arr]
         out.append(K_wkb.dumps(K_con.polygonize(geoms)))
     return pd.Series(out, dtype=object)
 
@@ -754,7 +781,7 @@ def st_offset_curve(col, distance: float):
     @pandas_udf(T.BinaryType())
     def _udf(b: pd.Series) -> pd.Series:
         return _wkbs([K_con.offset_curve(
-            None if v is None else K_wkb.loads(_b(v)), distance) for v in b])
+            _loads_safe(v), distance) for v in b])
     return _udf(col)
 
 
@@ -776,7 +803,7 @@ def st_delaunay_triangles(col, only_edges: bool = False):
     @pandas_udf(T.BinaryType())
     def _udf(b: pd.Series) -> pd.Series:
         return _wkbs([K_tri.delaunay_triangles(
-            None if v is None else K_wkb.loads(_b(v)), only_edges) for v in b])
+            _loads_safe(v), only_edges) for v in b])
     return _udf(col)
 
 
@@ -787,7 +814,7 @@ def st_voronoi_polygons(col, only_edges: bool = False):
     @pandas_udf(T.BinaryType())
     def _udf(b: pd.Series) -> pd.Series:
         return _wkbs([K_tri.voronoi_polygons(
-            None if v is None else K_wkb.loads(_b(v)), only_edges=only_edges)
+            _loads_safe(v), only_edges=only_edges)
             for v in b])
     return _udf(col)
 
@@ -835,7 +862,11 @@ def st_cell_cover(geom_col, res: int):
             if v is None:
                 out.append(None)
                 continue
-            cells = K_cell.cover(K_wkb.loads(_b(v)), res)
+            g = _loads_safe(v)
+            if g is None:
+                out.append(None)
+                continue
+            cells = K_cell.cover(g, res)
             cells = K_cell.cover_to_res(cells, res)
             out.append([int(c) for c in cells])
         return pd.Series(out, dtype=object)

@@ -95,7 +95,10 @@ def decode_points(wkbs):
     for i, b in enumerate(wkbs):
         if b is None:
             continue
-        g = loads(bytes(b))
+        try:
+            g = loads(bytes(b))
+        except (ValueError, struct.error, KeyError):
+            continue  # malformed row -> NaN (must not kill the job)
         if g is not None and g.type_id == POINT and len(g.coords):
             x[i], y[i] = g.coords[0]
     return x, y

@@ -99,3 +99,27 @@ def test_rings_explode(spark):
     df = _df1(spark, "POLYGON ((0 0, 0 10, 10 10, 10 0, 0 0), (2 2, 2 4, 4 4, 4 2, 2 2))")
     n = df.select(F.explode(SG.st_rings("g"))).count()
     assert n == 2
+
+
+def test_malformed_wkb_fuzz(spark):
+    """Poisoned binary rows must surface as NULL/False/NaN, never kill
+    the job (100 TB robustness: one bad row of 10^12 cannot fail the
+    stage)."""
+    import random
+    random.seed(42)
+    rows = [(bytes([random.randrange(256) for _ in range(random.randrange(0, 40))]),)
+            for _ in range(50)] + [(None,), (b"",), (b"\x01\x01\x00\x00\x00",)]
+    df = spark.createDataFrame(rows, "g binary")
+    got = df.select(
+        SG.st_area("g").alias("a"),
+        SG.st_geom_type("g").alias("t"),
+        SG.st_is_empty("g").alias("e"),
+        SG.st_x("g").alias("x"),
+        SG.st_as_wkt("g").alias("w"),
+        SG.st_intersects("g", "g").alias("i"),
+        SG.st_relate("g", "g").alias("m"),
+    ).collect()
+    assert len(got) == 53  # every row survived
+    # at least the obviously-junk rows are NULL/False
+    for r in got:
+        assert r["a"] is None or isinstance(r["a"], float)
