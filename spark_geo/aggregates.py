@@ -45,7 +45,7 @@ def union_all(df: DataFrame, group_col: str, geom_col: str = "geom") -> DataFram
     non-overlapping inputs — the engine's tiling use case; overlapping
     dissolve deferred, SURVEY.md §7.2)."""
     def merge(key, pdf):
-        geoms = [None if v is None else K_wkb.loads(bytes(v)) for v in pdf[geom_col]]
+        geoms = [SG._loads_safe(v) for v in pdf[geom_col]]
         u = K_con.union_all(geoms)
         return pd.DataFrame({group_col: [key[0]], "geom": [K_wkb.dumps(u)]})
 
@@ -57,7 +57,7 @@ def coverage_union_all(df: DataFrame, group_col: str, geom_col: str = "geom") ->
     """Per-group coverage union (reference set_operations.py:433-471) —
     exact for valid non-overlapping coverages (tiles)."""
     def merge(key, pdf):
-        geoms = [None if v is None else K_wkb.loads(bytes(v)) for v in pdf[geom_col]]
+        geoms = [SG._loads_safe(v) for v in pdf[geom_col]]
         u = K_con.coverage_union_all([g for g in geoms if g is not None])
         return pd.DataFrame({group_col: [key[0]], "geom": [K_wkb.dumps(u)]})
 
@@ -70,11 +70,33 @@ def intersection_all(df: DataFrame, group_col: str, geom_col: str = "geom") -> D
     set_operations.py:133-167 ufunc.reduce semantics); v1 kernel scope
     = convex operands (kernel.construct.intersection)."""
     def merge(key, pdf):
-        geoms = [None if v is None else K_wkb.loads(bytes(v)) for v in pdf[geom_col]]
+        geoms = [SG._loads_safe(v) for v in pdf[geom_col]]
         geoms = [g for g in geoms if g is not None]
         acc = geoms[0] if geoms else None
-        for g in geoms[1:]:
-            acc = K_con.intersection(acc, g)
+        try:
+            for g in geoms[1:]:
+                acc = K_con.intersection(acc, g)
+        except (NotImplementedError, RecursionError):
+            acc = None
+        return pd.DataFrame({group_col: [key[0]], "geom": [K_wkb.dumps(acc)]})
+
+    return df.select(group_col, geom_col).groupBy(group_col) \
+        .applyInPandas(merge, schema=_agg_schema(df, group_col))
+
+
+def symmetric_difference_all(df: DataFrame, group_col: str, geom_col: str = "geom") -> DataFrame:
+    """Per-group pairwise-fold symmetric difference (reference
+    set_operations.py:223-257 ufunc.reduce semantics): skip None,
+    all-None group -> NULL geometry, single element -> itself."""
+    def merge(key, pdf):
+        geoms = [SG._loads_safe(v) for v in pdf[geom_col]]
+        geoms = [g for g in geoms if g is not None]
+        acc = geoms[0] if geoms else None
+        try:
+            for g in geoms[1:]:
+                acc = K_con.symmetric_difference(acc, g)
+        except (NotImplementedError, RecursionError):
+            acc = None
         return pd.DataFrame({group_col: [key[0]], "geom": [K_wkb.dumps(acc)]})
 
     return df.select(group_col, geom_col).groupBy(group_col) \

@@ -77,7 +77,10 @@ def register_sql_functions(spark) -> list[str]:
         "st_point": st_point, "st_from_wkt": st_from_wkt,
         "st_as_wkt": st_as_wkt, "st_from_geojson": st_from_geojson,
         "st_as_geojson": st_as_geojson,
-        "st_x": st_x, "st_y": st_y, "st_type_id": st_type_id,
+        "st_x": st_x, "st_y": st_y, "st_z": st_z,
+        "st_coordinate_dimension": st_coordinate_dimension,
+        "st_coverage_union": st_coverage_union,
+        "st_type_id": st_type_id,
         "st_geom_type": st_geom_type, "st_is_empty": st_is_empty,
         "st_num_coordinates": st_num_coordinates,
         "st_num_geometries": st_num_geometries, "st_dump": st_dump,
@@ -184,6 +187,29 @@ def st_y(b: pd.Series) -> pd.Series:
     return pd.Series(y)
 
 
+@pandas_udf(T.DoubleType())
+def st_z(b: pd.Series) -> pd.Series:
+    """get_z: Z of a 3D point, NaN for 2D/non-point/None (reference
+    geometry.py:290-315; tests/test_geometry.py get_z cases)."""
+    out = []
+    for g in _geoms(b):
+        if g is None or g.type_id != 0 or not g.has_z or g.zs is None \
+                or len(g.zs) == 0 or g.is_empty:
+            out.append(float("nan"))
+        else:
+            out.append(float(g.zs[0]))
+    return pd.Series(out)
+
+
+@pandas_udf(T.IntegerType())
+def st_coordinate_dimension(b: pd.Series) -> pd.Series:
+    """get_coordinate_dimension: 3 with Z, else 2, -1 for None
+    (reference geometry.py:120-149)."""
+    out = [(-1 if g is None else K_u.get_coordinate_dimension(g))
+           for g in _geoms(b)]
+    return pd.Series(out, dtype="int32")
+
+
 @pandas_udf(T.IntegerType())
 def st_type_id(b: pd.Series) -> pd.Series:
     """get_type_id; -1 for None (reference geometry.py:56-90)."""
@@ -207,8 +233,11 @@ def st_is_empty(b: pd.Series) -> pd.Series:
 
 @pandas_udf(T.IntegerType())
 def st_num_coordinates(b: pd.Series) -> pd.Series:
-    """get_num_coordinates (reference geometry.py:150-176)."""
-    out = [(_loads_safe(v).num_coordinates()) for v in b]
+    """get_num_coordinates; NULL/malformed -> NULL (reference
+    geometry.py:150-176 returns -1 for None; SQL NULL is the
+    relational analogue)."""
+    out = [None if (g := _loads_safe(v)) is None else g.num_coordinates()
+           for v in b]
     return pd.Series(out, dtype="Int32")
 
 
@@ -574,33 +603,60 @@ def st_minimum_bounding_radius(b: pd.Series) -> pd.Series:
 
 # -- overlay (reference §2.7) ----------------------------------------------
 
+def _overlay_safe(fn, x, y):
+    """One overlay call; unsupported operand shapes degrade the row to
+    NULL instead of killing the task (the NULL invariant: a poisoned
+    row must not fail a 10^12-row job)."""
+    try:
+        return fn(x, y)
+    except (NotImplementedError, RecursionError):
+        return None
+
+
 @pandas_udf(T.BinaryType())
 def st_intersection(a: pd.Series, b: pd.Series) -> pd.Series:
     """intersection (reference set_operations.py:79-131): convex
     fast path + Greiner–Hormann general polygon overlay."""
     ga, gb = _geoms(a), _geoms(b)
-    return _wkbs([K_con.intersection(x, y) for x, y in zip(ga, gb)])
+    return _wkbs([_overlay_safe(K_con.intersection, x, y) for x, y in zip(ga, gb)])
 
 
 @pandas_udf(T.BinaryType())
 def st_difference(a: pd.Series, b: pd.Series) -> pd.Series:
     """difference (reference set_operations.py:22-77)."""
     ga, gb = _geoms(a), _geoms(b)
-    return _wkbs([K_con.difference(x, y) for x, y in zip(ga, gb)])
+    return _wkbs([_overlay_safe(K_con.difference, x, y) for x, y in zip(ga, gb)])
 
 
 @pandas_udf(T.BinaryType())
 def st_symmetric_difference(a: pd.Series, b: pd.Series) -> pd.Series:
     """symmetric_difference (reference set_operations.py:168-222)."""
     ga, gb = _geoms(a), _geoms(b)
-    return _wkbs([K_con.symmetric_difference(x, y) for x, y in zip(ga, gb)])
+    return _wkbs([_overlay_safe(K_con.symmetric_difference, x, y) for x, y in zip(ga, gb)])
 
 
 @pandas_udf(T.BinaryType())
 def st_union(a: pd.Series, b: pd.Series) -> pd.Series:
-    """binary union (reference set_operations.py:258-312)."""
+    """binary union (reference set_operations.py:258-312); multi-
+    polygon operands fold through the GH union (overlay.py
+    _union_fold)."""
     ga, gb = _geoms(a), _geoms(b)
-    return _wkbs([K_con.union(x, y) for x, y in zip(ga, gb)])
+    return _wkbs([_overlay_safe(K_con.union, x, y) for x, y in zip(ga, gb)])
+
+
+@pandas_udf(T.BinaryType())
+def st_coverage_union(a: pd.Series, b: pd.Series) -> pd.Series:
+    """binary coverage_union (reference set_operations.py:401-432):
+    union of two non-overlapping geometries = the collected multi-
+    geometry (exact for a valid coverage; None if either side None)."""
+    ga, gb = _geoms(a), _geoms(b)
+    out = []
+    for x, y in zip(ga, gb):
+        if x is None or y is None:
+            out.append(None)
+        else:
+            out.append(K_con.coverage_union_all([x, y]))
+    return _wkbs(out)
 
 
 def st_equals_exact(a, b, tolerance: float = 0.0):

@@ -85,47 +85,7 @@ def _probe_batch_points(tree: STRtree, xs, ys, predicate, distance):
     for u, s, e in zip(uniq, starts, ends):
         g = tree._geoms[tree._idx[u]]
         px, py = xs[cl[s:e]], ys[cl[s:e]]
-        if predicate == "dwithin":
-            m = K_m.points_to_geom_dist(px, py, g) <= distance
-        elif g.type_id in (3, 6, 7) or g.rings or any(
-                p.type_id in (3,) for p in g.parts):
-            inside, boundary = K_p.points_in_polygon(px, py, g)
-            if predicate == "intersects" or predicate == "covered_by":
-                m = inside | boundary
-            elif predicate == "within":
-                m = inside
-            elif predicate == "touches":
-                m = boundary
-            else:
-                m = np.zeros(len(px), dtype=bool)
-        else:
-            segs = K_m.segments(g)
-            if len(segs):
-                on_line = K_m.points_to_segments_dist(px, py, segs) <= 1e-12
-                if predicate in ("intersects", "covered_by"):
-                    m = on_line
-                elif predicate == "within":
-                    bpts = K_p._line_boundary_points(g)
-                    m = on_line.copy()
-                    if len(bpts):
-                        d = np.hypot(px[:, None] - bpts[None, :, 0],
-                                     py[:, None] - bpts[None, :, 1])
-                        m &= ~(d <= 1e-12).any(axis=1)
-                elif predicate == "touches":
-                    bpts = K_p._line_boundary_points(g)
-                    m = np.zeros(len(px), dtype=bool)
-                    if len(bpts):
-                        d = np.hypot(px[:, None] - bpts[None, :, 0],
-                                     py[:, None] - bpts[None, :, 1])
-                        m = (d <= 1e-12).any(axis=1)
-                else:
-                    m = np.zeros(len(px), dtype=bool)
-            else:  # point tree geometry
-                gv = K_m.vertices(g)
-                d = np.hypot(px[:, None] - gv[None, :, 0], py[:, None] - gv[None, :, 1])
-                eq = (d <= 1e-12).any(axis=1)
-                m = eq if predicate in ("intersects", "within", "covered_by") else \
-                    np.zeros(len(px), dtype=bool)
+        m = point_predicate_mask(g, px, py, predicate, distance)
         hit = np.nonzero(m)[0]
         if len(hit):
             keep_l.append(cl[s:e][hit])
@@ -133,6 +93,53 @@ def _probe_batch_points(tree: STRtree, xs, ys, predicate, distance):
     if not keep_l:
         return np.empty(0, np.int64), np.empty(0, np.int64)
     return np.concatenate(keep_l), np.concatenate(keep_r)
+
+
+def point_predicate_mask(g, px, py, predicate, distance=None):
+    """Vectorized predicate mask of a point batch against ONE decoded
+    geometry — the "prepare once per geometry" kernel (reference
+    src/strtree.c:286 prepared-probe semantics) shared by the
+    broadcast probe and the cell-join refine."""
+    if predicate == "dwithin":
+        return K_m.points_to_geom_dist(px, py, g) <= distance
+    if g.type_id in (3, 6, 7) or g.rings or any(
+            p.type_id in (3,) for p in g.parts):
+        inside, boundary = K_p.points_in_polygon(px, py, g)
+        if predicate == "intersects" or predicate == "covered_by":
+            return inside | boundary
+        if predicate == "within":
+            return inside
+        if predicate == "touches":
+            return boundary
+        return np.zeros(len(px), dtype=bool)
+    segs = K_m.segments(g)
+    if len(segs):
+        on_line = K_m.points_to_segments_dist(px, py, segs) <= 1e-12
+        if predicate in ("intersects", "covered_by"):
+            return on_line
+        if predicate == "within":
+            bpts = K_p._line_boundary_points(g)
+            m = on_line.copy()
+            if len(bpts):
+                d = np.hypot(px[:, None] - bpts[None, :, 0],
+                             py[:, None] - bpts[None, :, 1])
+                m &= ~(d <= 1e-12).any(axis=1)
+            return m
+        if predicate == "touches":
+            bpts = K_p._line_boundary_points(g)
+            m = np.zeros(len(px), dtype=bool)
+            if len(bpts):
+                d = np.hypot(px[:, None] - bpts[None, :, 0],
+                             py[:, None] - bpts[None, :, 1])
+                m = (d <= 1e-12).any(axis=1)
+            return m
+        return np.zeros(len(px), dtype=bool)
+    # point tree geometry
+    gv = K_m.vertices(g)
+    d = np.hypot(px[:, None] - gv[None, :, 0], py[:, None] - gv[None, :, 1])
+    eq = (d <= 1e-12).any(axis=1)
+    return eq if predicate in ("intersects", "within", "covered_by") else \
+        np.zeros(len(px), dtype=bool)
 
 
 def _tree_cell_index(tree: STRtree, pad: float):
@@ -329,28 +336,107 @@ def cell_spatial_join(left: DataFrame, right: DataFrame, *,
 
     ``distance`` (dwithin) expands the left cells by k rings with
     k = ceil(d / cell_height) — the cell-grid analogue of the
-    reference's bbox expansion (src/strtree.c:1165-1188)."""
-    if left_is_points and distance is None:
-        # points have exactly one cell: no array, no explode — one UDF
-        l = left.select(F.col(left_id).alias("_lid"),
-                        F.col(left_geom).alias("_lgeom"),
-                        SG.st_cell(left[left_geom], res).alias("_cell"))
+    reference's bbox expansion (src/strtree.c:1165-1188).
+
+    The candidate shuffle carries ONLY ids (+16 B of lon/lat doubles on
+    the point path) — never WKB; geometries are equi-joined back by id
+    after the candidate stage, and the refine decodes each right
+    geometry ONCE per group (the broadcast path's per-geometry
+    "prepare" trick) instead of re-parsing WKB per candidate pair.
+    Pair dedup runs on the id-only frame (and, for exploded covers,
+    again after the selective refine), so no full-width exchange ever
+    happens."""
+    id_fields = [T.StructField("_lid", left.schema[left_id].dataType),
+                 T.StructField("_rid", right.schema[right_id].dataType)]
+    rg = right.select(F.col(right_id).alias("_rid"),
+                      F.col(right_geom).alias("_rgeom"))
+    r = right.select(F.col(right_id).alias("_rid"),
+                     F.explode(SG.st_cell_cover(right[right_geom], res)).alias("_cell"))
+
+    if left_is_points:
+        if distance is None:
+            # points have exactly one cell: no array, no explode — one UDF
+            l = left.select(F.col(left_id).alias("_lid"),
+                            SG.st_x(left[left_geom]).alias("_lx"),
+                            SG.st_y(left[left_geom]).alias("_ly"),
+                            SG.st_cell(left[left_geom], res).alias("_cell"))
+        else:
+            l = left.select(F.col(left_id).alias("_lid"),
+                            SG.st_x(left[left_geom]).alias("_lx"),
+                            SG.st_y(left[left_geom]).alias("_ly"),
+                            F.explode(_left_cells(left[left_geom], res, distance,
+                                                  True)).alias("_cell"))
+        cand = l.join(r, "_cell").select("_lid", "_rid", "_lx", "_ly")
+        if distance is not None:
+            cand = cand.dropDuplicates(["_lid", "_rid"])
+        joined = cand.join(rg, "_rid")
+        refine = _cell_refine_points(predicate, distance,
+                                     T.StructType(id_fields))
+        out = joined.mapInPandas(refine, schema=T.StructType(id_fields))
     else:
         lcell = F.explode(_left_cells(left[left_geom], res, distance,
-                                      left_is_points)).alias("_cell")
-        l = left.select(F.col(left_id).alias("_lid"),
-                        F.col(left_geom).alias("_lgeom"), lcell)
-    r = right.select(F.col(right_id).alias("_rid"), F.col(right_geom).alias("_rgeom"),
-                     F.explode(SG.st_cell_cover(right[right_geom], res)).alias("_cell"))
-    cand = l.join(r, "_cell").drop("_cell")
-    if not left_is_points or distance is not None:
-        cand = cand.dropDuplicates(["_lid", "_rid"])
-    if predicate == "dwithin":
-        refined = cand.where(SG.st_dwithin(F.col("_lgeom"), F.col("_rgeom"), distance))
-    else:
-        pred_udf = getattr(SG, f"st_{predicate}")
-        refined = cand.where(pred_udf(F.col("_lgeom"), F.col("_rgeom")))
-    return refined.select(F.col("_lid").alias(left_id), F.col("_rid").alias(right_id))
+                                      False)).alias("_cell")
+        l = left.select(F.col(left_id).alias("_lid"), lcell)
+        cand = (l.join(r, "_cell").select("_lid", "_rid")
+                .dropDuplicates(["_lid", "_rid"]))
+        lg = left.select(F.col(left_id).alias("_lid"),
+                         F.col(left_geom).alias("_lgeom"))
+        joined = cand.join(rg, "_rid").join(lg, "_lid")
+        refine = _cell_refine_geoms(predicate, distance,
+                                    T.StructType(id_fields))
+        out = joined.mapInPandas(refine, schema=T.StructType(id_fields))
+    return out.select(F.col("_lid").alias(left_id),
+                      F.col("_rid").alias(right_id))
+
+
+def _cell_refine_points(predicate, distance, schema):
+    """Grouped refine for point✕geometry candidates: decode each right
+    geometry once per batch group, one vectorized kernel call over all
+    its candidate points."""
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            px = pdf["_lx"].to_numpy(dtype=np.float64)
+            py = pdf["_ly"].to_numpy(dtype=np.float64)
+            raw = pdf["_rgeom"].to_numpy()
+            keep = np.zeros(len(pdf), dtype=bool)
+            for _rid, idx in pdf.groupby("_rid", sort=False).indices.items():
+                g = SG._loads_safe(raw[idx[0]])
+                if g is None or g.is_empty:
+                    continue
+                keep[idx] = point_predicate_mask(g, px[idx], py[idx],
+                                                 predicate, distance)
+            yield pdf.loc[keep, ["_lid", "_rid"]]
+    return run
+
+
+def _cell_refine_geoms(predicate, distance, schema):
+    """Grouped refine for general geometry candidates: right geometry
+    decoded once per group; left geometries decoded per row (unavoidable
+    — each appears once per pair) and tested with the exact kernel
+    predicate."""
+    fn = K_p.dwithin if predicate == "dwithin" else PREDICATES[predicate]
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rraw = pdf["_rgeom"].to_numpy()
+            lraw = pdf["_lgeom"].to_numpy()
+            keep = np.zeros(len(pdf), dtype=bool)
+            for _rid, idx in pdf.groupby("_rid", sort=False).indices.items():
+                g = SG._loads_safe(rraw[idx[0]])
+                if g is None or g.is_empty:
+                    continue
+                for j in idx:
+                    a = SG._loads_safe(lraw[j])
+                    if a is None or a.is_empty:
+                        continue
+                    keep[j] = fn(a, g, distance) if predicate == "dwithin" \
+                        else fn(a, g)
+            yield pdf.loc[keep, ["_lid", "_rid"]]
+    return run
 
 
 def _left_cells(geom_col, res, distance, is_points):
@@ -394,7 +480,10 @@ def spatial_join(left: DataFrame, right: DataFrame, *,
     (counted once — at 100 TB the layer cardinality is metadata),
     else the two-phase cell join."""
     if strategy == "auto":
-        strategy = "broadcast" if right.count() <= broadcast_threshold else "cell"
+        # limit-bounded probe: answers "is it small?" without a full
+        # count action over a potentially huge right side
+        n_probe = right.limit(broadcast_threshold + 1).count()
+        strategy = "broadcast" if n_probe <= broadcast_threshold else "cell"
     if strategy == "broadcast":
         joined = broadcast_spatial_join(
             left, right, predicate=predicate, left_geom=left_geom,

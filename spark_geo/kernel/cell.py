@@ -125,13 +125,13 @@ def cover(geom: Geom | None, res: int, max_cells: int = 4096) -> np.ndarray:
         return np.empty(0, dtype=np.int64)
     xmin, ymin, xmax, ymax = geom.bounds()
     r = res
-    while r > 0:
+    while True:
         n = 1 << r
         ix0 = max(0, min(n - 1, int(np.floor((xmin + 180.0) / 360.0 * n))))
         ix1 = max(0, min(n - 1, int(np.floor((xmax + 180.0) / 360.0 * n))))
         iy0 = max(0, min(n - 1, int(np.floor((ymin + 90.0) / 180.0 * n))))
         iy1 = max(0, min(n - 1, int(np.floor((ymax + 90.0) / 180.0 * n))))
-        if (ix1 - ix0 + 1) * (iy1 - iy0 + 1) <= max_cells:
+        if (ix1 - ix0 + 1) * (iy1 - iy0 + 1) <= max_cells or r == 0:
             break
         r -= 1
     cells = []

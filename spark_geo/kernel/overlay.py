@@ -207,6 +207,32 @@ def _shell(g: Geom):
     return g.rings[0] if g.rings else None
 
 
+def _union_fold(parts):
+    """Dissolve a list of POLYGON shells into disjoint polygons by
+    pairwise GH merges.  Pairs that cannot be dissolved (degenerate
+    configurations the epsilon-retry couldn't break) stay side-by-side
+    — the same graceful degradation as the binary fallback.  Each
+    successful merge reduces the total polygon count by one, so the
+    loop terminates."""
+    todo = list(parts)
+    done = []
+    while todo:
+        cur = todo.pop()
+        merged = False
+        for i, q in enumerate(done):
+            if not P.intersects(cur, q):
+                continue
+            u = overlay(cur, q, "union")
+            if u is not None and u.type_id == POLYGON:
+                done.pop(i)
+                todo.append(u)
+                merged = True
+                break
+        if not merged:
+            done.append(cur)
+    return done
+
+
 def overlay(a: Geom | None, b: Geom | None, op: str) -> Geom | None:
     """General boolean overlay of two polygons (shells + re-attached
     holes).  op ∈ {intersection, union, difference,
@@ -229,6 +255,24 @@ def overlay(a: Geom | None, b: Geom | None, op: str) -> Geom | None:
         return b if op == "union" else Geom(GEOMETRYCOLLECTION)
     if b.is_empty:
         return a if op in ("union", "difference") else Geom(GEOMETRYCOLLECTION)
+    if op == "union" and (a.type_id == MULTIPOLYGON or b.type_id == MULTIPOLYGON):
+        flat = [p for g in (a, b)
+                for p in (g.parts if g.type_id == MULTIPOLYGON else [g])
+                if not p.is_empty]
+        if not flat:
+            return Geom(GEOMETRYCOLLECTION)
+        if any(p.type_id != POLYGON for p in flat):
+            raise NotImplementedError("overlay requires polygonal operands")
+        out = _union_fold(flat)
+        return out[0] if len(out) == 1 else Geom(MULTIPOLYGON, parts=out)
+    if b.type_id == MULTIPOLYGON and op == "difference":
+        # a \ (p1 ∪ p2 ∪ …) = ((a \ p1) \ p2) \ … — fold over b's parts
+        acc = a
+        for part in b.parts:
+            acc = overlay(acc, part, "difference")
+            if acc is None or acc.is_empty:
+                return Geom(GEOMETRYCOLLECTION)
+        return acc
     if a.type_id == MULTIPOLYGON:
         outs = [overlay(p, b, op) for p in a.parts]
         outs = [o for o in outs if o is not None and not o.is_empty]
@@ -237,8 +281,8 @@ def overlay(a: Geom | None, b: Geom | None, op: str) -> Geom | None:
                 return Geom(GEOMETRYCOLLECTION)
             return outs[0] if len(outs) == 1 else Geom(MULTIPOLYGON, parts=[
                 q for o in outs for q in (o.parts if o.type_id == MULTIPOLYGON else [o])])
-    if b.type_id == MULTIPOLYGON and op != "difference":
-        return overlay(b, a, op) if op in ("intersection", "union") else None
+    if b.type_id == MULTIPOLYGON and op == "intersection":
+        return overlay(b, a, op)
     if a.type_id != POLYGON or b.type_id != POLYGON:
         raise NotImplementedError("overlay requires polygonal operands")
 

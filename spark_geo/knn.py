@@ -34,10 +34,24 @@ from .kernel.strtree import STRtree
 from . import functions as SG
 
 
+def _lowest_id_per_left(li, rids, dd):
+    """Reduce all-ties output to one row per left index, keeping the
+    lowest right id — runs inside the worker, so nearest() needs no
+    post-join shuffle/window at all."""
+    if len(li) == 0:
+        return li, rids, dd
+    order = np.lexsort((rids, li))
+    li, rids, dd = li[order], rids[order], dd[order]
+    keep = np.ones(len(li), dtype=bool)
+    keep[1:] = li[1:] != li[:-1]
+    return li[keep], rids[keep], dd[keep]
+
+
 def broadcast_nearest_all(left: DataFrame, right: DataFrame, *,
                           left_geom: str = "geom", right_geom: str = "geom",
                           right_id: str = "right_id",
-                          max_distance: float | None = None) -> DataFrame:
+                          max_distance: float | None = None,
+                          _single: bool = False) -> DataFrame:
     """All-ties nearest join; output = left columns + right_id + distance."""
     rows = right.select(right_id, right_geom).collect()
     ids = np.asarray([r[0] for r in rows], dtype=np.int64)
@@ -69,16 +83,23 @@ def broadcast_nearest_all(left: DataFrame, right: DataFrame, *,
                 nulls = np.array([v is None for v in arr])
                 if bool(np.all(np.isnan(xs) == nulls)):
                     li, ri, dd = _nearest_all_points(xs, ys, *pts_l, max_distance)
+                    rids = ids_l[ri]
+                    if _single:
+                        li, rids, dd = _lowest_id_per_left(li, rids, dd)
                     out = pdf.iloc[li].reset_index(drop=True)
-                    out[right_id] = ids_l[ri]
+                    out[right_id] = rids
                     out["distance"] = dd
                     yield out
                     continue
             geoms_b = [None if v is None else K_wkb.loads(bytes(v)) for v in raw]
             pairs, dists = tree_l.nearest_all(geoms_b, max_distance=max_distance,
                                               return_distance=True)
-            out = pdf.iloc[pairs[0]].reset_index(drop=True)
-            out[right_id] = ids_l[pairs[1]]
+            li, rids = pairs[0], ids_l[pairs[1]]
+            if _single:
+                li, rids, dists = _lowest_id_per_left(
+                    np.asarray(li), np.asarray(rids), np.asarray(dists))
+            out = pdf.iloc[li].reset_index(drop=True)
+            out[right_id] = rids
             out["distance"] = dists
             yield out
 
@@ -114,14 +135,15 @@ def nearest(left: DataFrame, right: DataFrame, *,
             left_geom: str = "geom", right_geom: str = "geom",
             right_id: str = "right_id",
             max_distance: float | None = None) -> DataFrame:
-    """nearest(): one row per left row, lowest-right-id tie-break."""
-    left_k = left.withColumn("_knn_rid", F.monotonically_increasing_id())
-    pairs = broadcast_nearest_all(left_k, right, left_geom=left_geom,
-                                  right_geom=right_geom, right_id=right_id,
-                                  max_distance=max_distance)
-    w = Window.partitionBy("_knn_rid").orderBy(F.col("distance").asc(), F.col(right_id).asc())
-    return (pairs.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1).drop("_rn", "_knn_rid"))
+    """nearest(): one row per left row, lowest-right-id tie-break.
+
+    The tie-break happens INSIDE the broadcast worker (one lexsort per
+    Arrow batch) — the physical plan is a single mapInPandas over the
+    left side with ZERO exchanges, vs the previous per-row-id window
+    that shuffled the whole joined output."""
+    return broadcast_nearest_all(left, right, left_geom=left_geom,
+                                 right_geom=right_geom, right_id=right_id,
+                                 max_distance=max_distance, _single=True)
 
 
 # ---------------------------------------------------------------------------

@@ -86,18 +86,31 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
 def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", threshold: float = 0.8,
                   candidates: DataFrame | None = None) -> DataFrame:
-    """Exact distinct-token Jaccard >= threshold.  With ``candidates``
-    (e.g. from lsh_candidate_pairs) the intersection join is restricted
-    to candidate pairs — the scale path; without, it is the exact
-    all-pairs token join (small corpora / verification only)."""
+    """Exact distinct-token Jaccard >= threshold.
+
+    With ``candidates`` (e.g. from lsh_candidate_pairs) the work is
+    LINEAR in the candidate-pair count: per-doc distinct-token arrays
+    are equi-joined to the pairs and Jaccard is one JVM
+    ``array_intersect`` per pair — the all-pairs token self-join never
+    happens, so the LSH stage's pruning actually reaches the plan.
+    Without candidates it is the exact all-pairs token join (small
+    corpora / oracle verification only)."""
     toks = _tokens(df, id_col, text_col)
+    if candidates is not None:
+        arr = toks.groupBy(id_col).agg(F.collect_list("tok").alias("_ta"))
+        a = arr.select(F.col(id_col).alias("da"), F.col("_ta").alias("ta"))
+        b = arr.select(F.col(id_col).alias("db"), F.col("_ta").alias("tb"))
+        c = F.size(F.array_intersect("ta", "tb"))
+        return (candidates.select("da", "db").join(a, "da").join(b, "db")
+                .withColumn("jaccard",
+                            c / (F.size("ta") + F.size("tb") - c))
+                .where(F.col("jaccard") >= threshold)
+                .select("da", "db", "jaccard"))
     sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = toks.select(F.col(id_col).alias("da"), F.col("tok"))
     b = toks.select(F.col(id_col).alias("db"), F.col("tok"))
     inter = (a.join(b, ["tok"]).where(F.col("da") < F.col("db"))
              .groupBy("da", "db").agg(F.count(F.lit(1)).alias("c")))
-    if candidates is not None:
-        inter = inter.join(candidates, ["da", "db"], "left_semi")
     sa = sizes.select(F.col(id_col).alias("da"), F.col("sz").alias("na"))
     sb = sizes.select(F.col(id_col).alias("db"), F.col("sz").alias("nb"))
     return (inter.join(sa, "da").join(sb, "db")
@@ -109,27 +122,24 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
 def simhash(df: DataFrame, id_col: str = "doc_id",
             text_col: str = "text") -> DataFrame:
     """64-bit SimHash fingerprint, fully JVM-side: per-token xxhash64,
-    per-bit sign votes folded with F.aggregate, bits packed with
-    shiftleft/bitwise-or.  Near-dup distance = hamming(simhash_a,
-    simhash_b) via bit_count(a ^ b)."""
+    per-bit ±1 sign votes as 64 map-side-combinable SUM aggregates
+    (constant per-group state — no collect_list, no unbounded arrays),
+    bits packed with shiftleft/bitwise-or.  Near-dup distance =
+    hamming(simhash_a, simhash_b) via bit_count(a ^ b)."""
     toks = (df.select(id_col, F.explode(
         F.split(F.trim(F.col(text_col)), TOKEN_PATTERN)).alias("tok"))
         .where(F.col("tok") != ""))
-    hashes = toks.groupBy(id_col).agg(
-        F.collect_list(F.xxhash64("tok")).alias("hs"))
-
-    def vote(b):
-        return F.aggregate(
-            "hs", F.lit(0).cast("long"),
-            lambda acc, h: acc + (F.shiftright(h, b).bitwiseAND(F.lit(1))
-                                  .cast("long") * 2 - 1))
-
+    h = F.xxhash64("tok")
+    aggs = [F.sum(F.shiftright(h, b).bitwiseAND(F.lit(1)).cast("long")
+                  * 2 - 1).alias(f"_v{b}")
+            for b in range(64)]
+    votes = toks.groupBy(id_col).agg(*aggs)
     packed = F.lit(0).cast("long")
     for b in range(63, -1, -1):
-        bitval = F.when(vote(b) > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long"))
+        bitval = F.when(F.col(f"_v{b}") > 0, F.lit(1).cast("long")) \
+            .otherwise(F.lit(0).cast("long"))
         packed = F.shiftleft(packed, 1).bitwiseOR(bitval)
-    return hashes.select(id_col, packed.alias("simhash"))
+    return votes.select(id_col, packed.alias("simhash"))
 
 
 def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
