@@ -399,6 +399,308 @@ def q_overlay_areas(spark, sf_dir):
     ).orderBy("polygon_id")
 
 
+# ---------------------------------------------------------------------------
+# long-tail operator queries (round 2): every SURVEY §2.3/2.5/2.8/2.9
+# operator name appears in a driver-oracle row, mostly via closed-form
+# identities on the deterministic lattice/box fixtures.
+# ---------------------------------------------------------------------------
+
+def q_constructive_identities(spark, sf_dir):
+    """convex_hull / envelope / boundary / oriented_envelope /
+    minimum_bounding_radius / minimum_clearance / point_on_surface /
+    build_area / make_valid on nation boxes — all have closed forms
+    (hull of a box is the box; boundary length is the perimeter;
+    min radius is the half-diagonal; clearance is the short side)."""
+    ship_package(spark)
+    b = _nation_boxes(spark, sf_dir)
+    return b.select(
+        "polygon_id",
+        F.round(SG.st_area(SG.st_convex_hull("geom")), 6).alias("hull_area_r"),
+        F.round(SG.st_area(SG.st_envelope("geom")), 6).alias("env_area_r"),
+        F.round(SG.st_length(SG.st_boundary("geom")), 6).alias("boundary_len_r"),
+        F.round(SG.st_area(SG.st_oriented_envelope("geom")), 6).alias("oenv_area_r"),
+        F.round(SG.st_minimum_bounding_radius("geom"), 6).alias("mbr_r"),
+        F.round(SG.st_minimum_clearance("geom"), 6).alias("clearance_r"),
+        SG.st_within(SG.st_point_on_surface("geom"), F.col("geom")).alias("pos_inside"),
+        F.round(SG.st_area(SG.st_make_valid("geom")), 6).alias("mv_area_r"),
+    ).orderBy("polygon_id")
+
+
+def q_simplify_segmentize(spark, sf_dir):
+    """segmentize (densify) then simplify (Douglas-Peucker) round-trip
+    on lattice segments: vertex counts and length are closed-form
+    (reference constructive.py:712 simplify, :759 segmentize)."""
+    ship_package(spark)
+    s = _supp_points(spark, sf_dir)
+    line = SG.st_from_wkt(F.format_string(
+        "LINESTRING (%.6f %.6f, %.6f %.6f)",
+        F.col("lon"), F.col("lat"), F.col("lon") + 8.0, F.col("lat")))
+    tol = F.pmod(F.col("s_suppkey"), F.lit(3)) + 1  # 1, 2, 3
+    dense = SG.st_segmentize_col(line, tol.cast("double"))
+    simp = SG.st_simplify_col(dense, F.lit(0.5))
+    return s.select(
+        "s_suppkey",
+        SG.st_num_points(dense).alias("n_dense"),
+        SG.st_num_points(simp).alias("n_simplified"),
+        F.round(SG.st_length(simp), 6).alias("len_r"),
+    ).orderBy("s_suppkey")
+
+
+def q_hausdorff_frechet(spark, sf_dir):
+    """hausdorff_distance / frechet_distance on parallel lattice
+    segments offset by a key-derived dy — both equal dy exactly
+    (reference measurement.py:180-250)."""
+    ship_package(spark)
+    s = _supp_points(spark, sf_dir)
+    dy = (F.pmod(F.col("s_suppkey"), F.lit(7)) + 1).cast("double")
+    a = SG.st_from_wkt(F.format_string(
+        "LINESTRING (%.6f %.6f, %.6f %.6f)",
+        F.col("lon"), F.col("lat"), F.col("lon") + 8.0, F.col("lat")))
+    b = SG.st_from_wkt(F.format_string(
+        "LINESTRING (%.6f %.6f, %.6f %.6f)",
+        F.col("lon"), F.col("lat") + dy, F.col("lon") + 8.0, F.col("lat") + dy))
+    return s.select(
+        "s_suppkey",
+        F.round(SG.st_hausdorff_distance(a, b), 6).alias("haus_r"),
+        F.round(SG.st_frechet_distance(a, b), 6).alias("frech_r"),
+    ).orderBy("s_suppkey")
+
+
+def q_relate_boxes(spark, sf_dir):
+    """relate (DE-9IM) on box pairs in the three canonical
+    configurations: overlapping, edge-touching, disjoint (reference
+    predicates.py:683-745; golden strings verified in tests/)."""
+    ship_package(spark)
+    b = _nation_boxes(spark, sf_dir)
+    overlap = SG.st_make_box(F.col("x0") + 5.0, F.col("y0") + 4.0,
+                             F.col("x0") + 75.0, F.col("y0") + 38.0)
+    touch = SG.st_make_box(F.col("x0") + 70.0, F.col("y0"),
+                           F.col("x0") + 140.0, F.col("y0") + 34.0)
+    disjoint = SG.st_make_box(F.col("x0") + 100.0, F.col("y0"),
+                              F.col("x0") + 170.0, F.col("y0") + 34.0)
+    return b.select(
+        "polygon_id",
+        SG.st_relate("geom", overlap).alias("rel_overlap"),
+        SG.st_relate("geom", touch).alias("rel_touch"),
+        SG.st_relate("geom", disjoint).alias("rel_disjoint"),
+    ).orderBy("polygon_id")
+
+
+def q_accessor_sweep(spark, sf_dir):
+    """Accessor surface (§2.3): type id, geom type, dimensions,
+    coordinate dimension, num_coordinates, num_points, exterior ring,
+    point_n, interior rings of a holed polygon (reference
+    geometry.py:56-660)."""
+    ship_package(spark)
+    b = _nation_boxes(spark, sf_dir)
+    holed = SG.st_difference("geom", SG.st_make_box(
+        F.col("x0") + 30.0, F.col("y0") + 10.0,
+        F.col("x0") + 40.0, F.col("y0") + 20.0))
+    ring = SG.st_exterior_ring("geom")
+    return b.select(
+        "polygon_id",
+        SG.st_type_id("geom").alias("type_id"),
+        SG.st_geom_type("geom").alias("geom_type"),
+        SG.st_dimensions("geom").alias("dims"),
+        SG.st_coordinate_dimension("geom").alias("coord_dim"),
+        SG.st_num_coordinates("geom").alias("n_coords"),
+        SG.st_num_points(ring).alias("n_ring_pts"),
+        F.round(SG.st_x(SG.st_point_n(ring, 0)), 6).alias("first_x_r"),
+        F.round(SG.st_y(SG.st_point_n(ring, 0)), 6).alias("first_y_r"),
+        SG.st_num_interior_rings(holed).alias("n_holes"),
+        F.round(SG.st_area(holed), 6).alias("holed_area_r"),
+        SG.st_num_geometries("geom").alias("n_geoms"),
+    ).orderBy("polygon_id")
+
+
+def q_z_roundtrip(spark, sf_dir):
+    """Z surface: force_3d -> get_z / has_z / coordinate_dimension,
+    force_2d back (reference geometry.py:290-315, :819-878)."""
+    ship_package(spark)
+    s = _supp_points(spark, sf_dir)
+    zval = F.pmod(F.col("s_suppkey"), F.lit(5)).cast("double")
+    p3 = SG.st_force_3d_col(F.col("point"), zval)
+    return s.select(
+        "s_suppkey",
+        F.round(SG.st_z(p3), 6).alias("z_r"),
+        SG.st_has_z(p3).alias("has_z3"),
+        SG.st_coordinate_dimension(p3).alias("dim3"),
+        SG.st_coordinate_dimension(SG.st_force_2d(p3)).alias("dim2"),
+        SG.st_has_z(SG.st_force_2d(p3)).alias("has_z2"),
+    ).orderBy("s_suppkey")
+
+
+def q_format_roundtrip(spark, sf_dir):
+    """WKT and GeoJSON round-trips preserve geometry exactly on
+    integer-coordinate boxes (reference io.py to_wkt/from_wkt,
+    to_geojson/from_geojson)."""
+    ship_package(spark)
+    b = _nation_boxes(spark, sf_dir)
+    via_wkt = SG.st_from_wkt(SG.st_as_wkt("geom"))
+    via_gj = SG.st_from_geojson(SG.st_as_geojson("geom"))
+    return b.select(
+        "polygon_id",
+        F.round(SG.st_area(via_wkt), 6).alias("wkt_area_r"),
+        F.round(SG.st_area(via_gj), 6).alias("gj_area_r"),
+        SG.st_geom_type(via_wkt).alias("wkt_type"),
+        SG.st_equals_exact("geom", via_wkt).alias("wkt_eq"),
+    ).orderBy("polygon_id")
+
+
+def q_snap_transform(spark, sf_dir):
+    """snap (vertex snap to reference) + apply/transform_coords
+    (affine shift) — shifted lattice coordinates are closed-form
+    (reference constructive.py snap, coordinates.py:9-68 apply)."""
+    ship_package(spark)
+    s = _supp_points(spark, sf_dir)
+    ref = SG.st_point(F.round("lon", 0), F.round("lat", 0))
+    snapped = SG.st_snap("point", ref, 0.8)  # max lattice offset is hypot(.5,.5)
+    shifted = SG.st_transform_coords(F.col("point"),
+                                     lambda c: c + __import__("numpy").array([2.0, 3.0]))
+    return s.select(
+        "s_suppkey",
+        F.round(SG.st_x(snapped), 6).alias("snap_x_r"),
+        F.round(SG.st_y(snapped), 6).alias("snap_y_r"),
+        F.round(SG.st_x(shifted), 6).alias("tx_r"),
+        F.round(SG.st_y(shifted), 6).alias("ty_r"),
+    ).orderBy("s_suppkey")
+
+
+def q_validity_normalize(spark, sf_dir):
+    """is_valid / is_simple / normalize / reverse / equals_exact:
+    a normalized reversed box equals the normalized original
+    (reference predicates.py is_valid:210, constructive normalize)."""
+    ship_package(spark)
+    b = _nation_boxes(spark, sf_dir)
+    norm_rev = SG.st_normalize(SG.st_reverse("geom"))
+    return b.select(
+        "polygon_id",
+        SG.st_is_valid("geom").alias("valid"),
+        SG.st_is_simple("geom").alias("simple"),
+        SG.st_is_empty("geom").alias("empty"),
+        SG.st_equals_exact(SG.st_normalize("geom"), norm_rev).alias("norm_eq"),
+        SG.st_is_valid_reason("geom").alias("valid_reason"),
+    ).orderBy("polygon_id")
+
+
+def q_triangulate_partition(spark, sf_dir):
+    """delaunay_triangles partitions the hull (triangle areas sum to
+    the box area); voronoi_polygons yields one cell per input point
+    (reference constructive.py:366 delaunay, :832 voronoi)."""
+    ship_package(spark)
+    b = _nation_boxes(spark, sf_dir)
+    corners = SG.st_extract_unique_points("geom")
+    tri = SG.st_delaunay_triangles(corners)
+    vor = SG.st_voronoi_polygons(corners)
+    return b.select(
+        "polygon_id",
+        F.round(SG.st_area(tri), 6).alias("tri_area_r"),
+        SG.st_num_geometries(tri).alias("n_triangles"),
+        SG.st_num_geometries(vor).alias("n_cells"),
+    ).orderBy("polygon_id")
+
+
+def q_line_locate_shortest(spark, sf_dir):
+    """line_locate_point + shortest_line + distance coherence on
+    lattice segments: the point projects at a key-derived fraction,
+    and |shortest_line| == distance == 3 (reference linear.py:56-100,
+    constructive shortest_line)."""
+    ship_package(spark)
+    s = _supp_points(spark, sf_dir)
+    line = SG.st_from_wkt(F.format_string(
+        "LINESTRING (%.6f %.6f, %.6f %.6f)",
+        F.col("lon"), F.col("lat"), F.col("lon") + 8.0, F.col("lat")))
+    off = F.pmod(F.col("s_suppkey"), F.lit(9)).cast("double")
+    pt = SG.st_point(F.col("lon") + off, F.col("lat") + 3.0)
+    sl = SG.st_shortest_line(line, pt)
+    return s.select(
+        "s_suppkey",
+        F.round(SG.st_line_locate_point(line, pt), 6).alias("loc_r"),
+        F.round(SG.st_length(sl), 6).alias("sl_len_r"),
+        F.round(SG.st_distance(line, pt), 6).alias("dist_r"),
+    ).orderBy("s_suppkey")
+
+
+def q_cell_join_pip(spark, sf_dir):
+    """Large✕large two-phase cell equi-join (coarse cell candidates ->
+    grouped exact refine; the billion✕billion plan) — must produce the
+    same pairs as the broadcast-tree PIP join."""
+    ship_package(spark)
+    pts = _cust_points(spark, sf_dir).select(
+        F.col("c_custkey").alias("left_id"), F.col("point").alias("geom"))
+    layer = _nation_boxes(spark, sf_dir).select(
+        F.col("polygon_id").alias("right_id"), "geom")
+    j = SJ.cell_spatial_join(pts, layer, predicate="intersects", res=5)
+    return (j.select(F.col("left_id").alias("c_custkey"),
+                     F.col("right_id").alias("polygon_id"))
+            .orderBy("c_custkey", "polygon_id"))
+
+
+def q_coverage_union_area(spark, sf_dir):
+    """Binary coverage_union of two disjoint boxes: area is additive
+    (reference set_operations.py:401-432)."""
+    ship_package(spark)
+    b = _nation_boxes(spark, sf_dir)
+    other = SG.st_make_box(F.col("x0") + 100.0, F.col("y0"),
+                           F.col("x0") + 170.0, F.col("y0") + 34.0)
+    cu = SG.st_coverage_union("geom", other)
+    return b.select(
+        "polygon_id",
+        F.round(SG.st_area(cu), 6).alias("cu_area_r"),
+        SG.st_num_geometries(cu).alias("n_parts"),
+    ).orderBy("polygon_id")
+
+
+def q_setops_all(spark, sf_dir):
+    """Aggregate set-op folds (reference set_operations.py ufunc.reduce
+    semantics): symmetric_difference_all of vertically-disjoint box
+    groups = their union (additive area); intersection_all of the same
+    disjoint groups = empty (area 0)."""
+    ship_package(spark)
+    from spark_geo import aggregates as AG
+    b = _nation_boxes(spark, sf_dir).withColumn(
+        "grp", F.pmod(F.col("n_nationkey"), F.lit(5)).cast("long"))
+    sd = AG.symmetric_difference_all(b, "grp", "geom") \
+        .select("grp", F.round(SG.st_area("geom"), 6).alias("sd_area_r"))
+    ia = AG.intersection_all(b, "grp", "geom") \
+        .select("grp", F.round(F.coalesce(SG.st_area("geom"), F.lit(0.0)), 6)
+                .alias("ia_area_r"))
+    cnt = b.groupBy("grp").agg(F.count(F.lit(1)).alias("n_boxes"))
+    return (sd.join(ia, "grp").join(cnt, "grp")
+            .select("grp", "sd_area_r", "ia_area_r", "n_boxes").orderBy("grp"))
+
+
+def q_offset_curve_measure(spark, sf_dir):
+    """offset_curve of a horizontal segment: length preserved, curve
+    shifted to the left side (+y) by the offset distance (reference
+    constructive.py:642-682)."""
+    ship_package(spark)
+    s = _supp_points(spark, sf_dir)
+    line = SG.st_from_wkt(F.format_string(
+        "LINESTRING (%.6f %.6f, %.6f %.6f)",
+        F.col("lon"), F.col("lat"), F.col("lon") + 8.0, F.col("lat")))
+    oc = SG.st_offset_curve(line, 2.0)
+    return s.select(
+        "s_suppkey",
+        F.round(SG.st_length(oc), 6).alias("oc_len_r"),
+        F.round(SG.st_y(SG.st_point_n(oc, 0)) - F.col("lat"), 6).alias("oc_dy_r"),
+    ).orderBy("s_suppkey")
+
+
+def q_srid_roundtrip(spark, sf_dir):
+    """set_srid / get_srid EWKB round-trip; geometry values unchanged
+    (reference geometry.py:177-235)."""
+    ship_package(spark)
+    b = _nation_boxes(spark, sf_dir)
+    tagged = SG.st_set_srid("geom", 4326)
+    return b.select(
+        "polygon_id",
+        SG.st_srid(tagged).alias("srid"),
+        SG.st_srid("geom").alias("srid0"),
+        F.round(SG.st_area(tagged), 6).alias("area_r"),
+    ).orderBy("polygon_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pip_join_count": q_pip_join_count,
@@ -425,6 +727,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "rasterize_area": q_rasterize_area,
         "overlay_areas": q_overlay_areas,
+        "constructive_identities": q_constructive_identities,
+        "simplify_segmentize": q_simplify_segmentize,
+        "hausdorff_frechet": q_hausdorff_frechet,
+        "relate_boxes": q_relate_boxes,
+        "accessor_sweep": q_accessor_sweep,
+        "z_roundtrip": q_z_roundtrip,
+        "format_roundtrip": q_format_roundtrip,
+        "snap_transform": q_snap_transform,
+        "validity_normalize": q_validity_normalize,
+        "triangulate_partition": q_triangulate_partition,
+        "line_locate_shortest": q_line_locate_shortest,
+        "cell_join_pip": q_cell_join_pip,
+        "coverage_union_area": q_coverage_union_area,
+        "setops_all": q_setops_all,
+        "offset_curve_measure": q_offset_curve_measure,
+        "srid_roundtrip": q_srid_roundtrip,
     }
 
 
@@ -598,6 +916,132 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(70.0 * 34.0 - (70.0 - sx) * (34.0 - sy), 6) AS diff_r,
                    ROUND(2 * (70.0 * 34.0 - (70.0 - sx) * (34.0 - sy)), 6) AS symdiff_r
             FROM s ORDER BY polygon_id
+        """,
+        "constructive_identities": """
+            SELECT n_nationkey::BIGINT AS polygon_id,
+                   ROUND(2380.0, 6) AS hull_area_r,
+                   ROUND(2380.0, 6) AS env_area_r,
+                   ROUND(208.0, 6) AS boundary_len_r,
+                   ROUND(2380.0, 6) AS oenv_area_r,
+                   ROUND(SQRT(70.0*70.0 + 34.0*34.0) / 2.0, 6) AS mbr_r,
+                   ROUND(34.0, 6) AS clearance_r,
+                   TRUE AS pos_inside,
+                   ROUND(2380.0, 6) AS mv_area_r
+            FROM nation ORDER BY 1
+        """,
+        "simplify_segmentize": """
+            SELECT s_suppkey,
+                   CAST(CEIL(8.0 / ((s_suppkey % 3) + 1)) + 1 AS INTEGER) AS n_dense,
+                   CAST(2 AS INTEGER) AS n_simplified,
+                   ROUND(8.0, 6) AS len_r
+            FROM supplier ORDER BY 1
+        """,
+        "hausdorff_frechet": """
+            SELECT s_suppkey,
+                   ROUND(((s_suppkey % 7) + 1) * 1.0, 6) AS haus_r,
+                   ROUND(((s_suppkey % 7) + 1) * 1.0, 6) AS frech_r
+            FROM supplier ORDER BY 1
+        """,
+        "relate_boxes": """
+            SELECT n_nationkey::BIGINT AS polygon_id,
+                   '212101212' AS rel_overlap,
+                   'FF2F11212' AS rel_touch,
+                   'FF2FF1212' AS rel_disjoint
+            FROM nation ORDER BY 1
+        """,
+        "accessor_sweep": f"""
+            SELECT n_nationkey::BIGINT AS polygon_id,
+                   CAST(3 AS INTEGER) AS type_id,
+                   'POLYGON' AS geom_type,
+                   CAST(2 AS INTEGER) AS dims,
+                   CAST(2 AS INTEGER) AS coord_dim,
+                   CAST(5 AS INTEGER) AS n_coords,
+                   CAST(5 AS INTEGER) AS n_ring_pts,
+                   ROUND({BOX_X0} + 70.0, 6) AS first_x_r,
+                   ROUND({BOX_Y0}, 6) AS first_y_r,
+                   CAST(1 AS INTEGER) AS n_holes,
+                   ROUND(2380.0 - 100.0, 6) AS holed_area_r,
+                   CAST(1 AS INTEGER) AS n_geoms
+            FROM nation ORDER BY 1
+        """,
+        "z_roundtrip": """
+            SELECT s_suppkey,
+                   ROUND((s_suppkey % 5) * 1.0, 6) AS z_r,
+                   TRUE AS has_z3,
+                   CAST(3 AS INTEGER) AS dim3,
+                   CAST(2 AS INTEGER) AS dim2,
+                   FALSE AS has_z2
+            FROM supplier ORDER BY 1
+        """,
+        "format_roundtrip": """
+            SELECT n_nationkey::BIGINT AS polygon_id,
+                   ROUND(2380.0, 6) AS wkt_area_r,
+                   ROUND(2380.0, 6) AS gj_area_r,
+                   'POLYGON' AS wkt_type,
+                   TRUE AS wkt_eq
+            FROM nation ORDER BY 1
+        """,
+        "snap_transform": f"""
+            SELECT s_suppkey,
+                   ROUND(ROUND({SUPP_LON}), 6) AS snap_x_r,
+                   ROUND(ROUND({SUPP_LAT}), 6) AS snap_y_r,
+                   ROUND({SUPP_LON} + 2.0, 6) AS tx_r,
+                   ROUND({SUPP_LAT} + 3.0, 6) AS ty_r
+            FROM supplier ORDER BY 1
+        """,
+        "validity_normalize": """
+            SELECT n_nationkey::BIGINT AS polygon_id,
+                   TRUE AS valid, TRUE AS simple, FALSE AS empty,
+                   TRUE AS norm_eq,
+                   'Valid Geometry' AS valid_reason
+            FROM nation ORDER BY 1
+        """,
+        "triangulate_partition": """
+            SELECT n_nationkey::BIGINT AS polygon_id,
+                   ROUND(2380.0, 6) AS tri_area_r,
+                   CAST(2 AS INTEGER) AS n_triangles,
+                   CAST(4 AS INTEGER) AS n_cells
+            FROM nation ORDER BY 1
+        """,
+        "line_locate_shortest": """
+            SELECT s_suppkey,
+                   ROUND((s_suppkey % 9) * 1.0, 6) AS loc_r,
+                   ROUND(3.0, 6) AS sl_len_r,
+                   ROUND(3.0, 6) AS dist_r
+            FROM supplier ORDER BY 1
+        """,
+        "cell_join_pip": f"""
+            SELECT c.c_custkey, n.n_nationkey::BIGINT AS polygon_id
+            FROM customer c JOIN nation n
+              ON {CUST_LON} >= {BOX_X0} AND {CUST_LON} <= {BOX_X0} + 70.0
+             AND {CUST_LAT} >= {BOX_Y0} AND {CUST_LAT} <= {BOX_Y0} + 34.0
+            ORDER BY 1, 2
+        """,
+        "coverage_union_area": """
+            SELECT n_nationkey::BIGINT AS polygon_id,
+                   ROUND(2.0 * 2380.0, 6) AS cu_area_r,
+                   CAST(2 AS INTEGER) AS n_parts
+            FROM nation ORDER BY 1
+        """,
+        "setops_all": """
+            SELECT (n_nationkey % 5)::BIGINT AS grp,
+                   ROUND(2380.0 * COUNT(*), 6) AS sd_area_r,
+                   ROUND(0.0, 6) AS ia_area_r,
+                   COUNT(*) AS n_boxes
+            FROM nation GROUP BY 1 ORDER BY 1
+        """,
+        "offset_curve_measure": """
+            SELECT s_suppkey,
+                   ROUND(8.0, 6) AS oc_len_r,
+                   ROUND(2.0, 6) AS oc_dy_r
+            FROM supplier ORDER BY 1
+        """,
+        "srid_roundtrip": """
+            SELECT n_nationkey::BIGINT AS polygon_id,
+                   CAST(4326 AS INTEGER) AS srid,
+                   CAST(0 AS INTEGER) AS srid0,
+                   ROUND(2380.0, 6) AS area_r
+            FROM nation ORDER BY 1
         """,
         # minhash_candidates, simhash_dups, lang_id: intentionally
         # omitted (LSH banding / 64-bit fingerprints / argmax marker

@@ -406,6 +406,28 @@ def st_segmentize(col, tolerance: float):
     return _udf(col)
 
 
+@pandas_udf(T.BinaryType())
+def st_simplify_col(b: pd.Series, tol: pd.Series) -> pd.Series:
+    """simplify with a per-row tolerance COLUMN (ufunc broadcasting
+    analogue — the reference accepts array tolerances)."""
+    return _wkbs([K_con.simplify(_loads_safe(v), float(t))
+                  for v, t in zip(b, tol)])
+
+
+@pandas_udf(T.BinaryType())
+def st_segmentize_col(b: pd.Series, tol: pd.Series) -> pd.Series:
+    """segmentize with a per-row tolerance COLUMN."""
+    return _wkbs([K_con.segmentize(_loads_safe(v), float(t))
+                  for v, t in zip(b, tol)])
+
+
+@pandas_udf(T.BinaryType())
+def st_force_3d_col(b: pd.Series, z: pd.Series) -> pd.Series:
+    """force_3d with a per-row Z COLUMN (reference geometry.py:819)."""
+    return _wkbs([K_u.force_3d(_loads_safe(v), float(zz))
+                  for v, zz in zip(b, z)])
+
+
 def st_clip_by_rect(col, xmin: float, ymin: float, xmax: float, ymax: float):
     """clip_by_rect (reference constructive.py:278-322)."""
     @pandas_udf(T.BinaryType())
