@@ -687,6 +687,37 @@ def q_offset_curve_measure(spark, sf_dir):
     ).orderBy("s_suppkey")
 
 
+def q_buffer_styles(spark, sf_dir):
+    """Buffer cap/join styles (reference constructive.py:37-46):
+    flat/square/round caps on lattice segments, mitre/round joins and
+    negative (erode) radii on boxes, single-sided line buffers — all
+    closed-form areas."""
+    ship_package(spark)
+    s = _supp_points(spark, sf_dir)
+    line = SG.st_from_wkt(F.format_string(
+        "LINESTRING (%.6f %.6f, %.6f %.6f)",
+        F.col("lon"), F.col("lat"), F.col("lon") + 8.0, F.col("lat")))
+    box = SG.st_make_box(F.col("lon"), F.col("lat"),
+                         F.col("lon") + 70.0, F.col("lat") + 34.0)
+    return s.select(
+        "s_suppkey",
+        F.round(SG.st_area(SG.st_buffer(line, 2.0, cap_style="flat")), 6)
+        .alias("flat_r"),
+        F.round(SG.st_area(SG.st_buffer(line, 2.0, cap_style="square")), 6)
+        .alias("square_r"),
+        F.round(SG.st_area(SG.st_buffer(line, 2.0, quadsegs=8, cap_style="round")), 6)
+        .alias("round_r"),
+        F.round(SG.st_area(SG.st_buffer(line, 2.0, single_sided=True)), 6)
+        .alias("sside_r"),
+        F.round(SG.st_area(SG.st_buffer(box, 2.0, join_style="mitre")), 6)
+        .alias("box_mitre_r"),
+        F.round(SG.st_area(SG.st_buffer(box, -2.0, join_style="mitre")), 6)
+        .alias("box_erode_r"),
+        F.round(SG.st_area(SG.st_buffer(box, 2.0, quadsegs=8, join_style="round")), 6)
+        .alias("box_round_r"),
+    ).orderBy("s_suppkey")
+
+
 def q_srid_roundtrip(spark, sf_dir):
     """set_srid / get_srid EWKB round-trip; geometry values unchanged
     (reference geometry.py:177-235)."""
@@ -742,6 +773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coverage_union_area": q_coverage_union_area,
         "setops_all": q_setops_all,
         "offset_curve_measure": q_offset_curve_measure,
+        "buffer_styles": q_buffer_styles,
         "srid_roundtrip": q_srid_roundtrip,
     }
 
@@ -1034,6 +1066,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT s_suppkey,
                    ROUND(8.0, 6) AS oc_len_r,
                    ROUND(2.0, 6) AS oc_dy_r
+            FROM supplier ORDER BY 1
+        """,
+        "buffer_styles": """
+            SELECT s_suppkey,
+                   ROUND(32.0, 6) AS flat_r,
+                   ROUND(48.0, 6) AS square_r,
+                   ROUND(32.0 + 0.5 * 32 * 4.0 * SIN(2 * PI() / 32), 6) AS round_r,
+                   ROUND(16.0, 6) AS sside_r,
+                   ROUND(74.0 * 38.0, 6) AS box_mitre_r,
+                   ROUND(66.0 * 30.0, 6) AS box_erode_r,
+                   ROUND(70.0 * 34.0 + 2 * 2.0 * (70.0 + 34.0)
+                       + 0.5 * 32 * 4.0 * SIN(2 * PI() / 32), 6) AS box_round_r
             FROM supplier ORDER BY 1
         """,
         "srid_roundtrip": """

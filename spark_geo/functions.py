@@ -379,12 +379,16 @@ st_point_on_surface = _unary_constructive(K_con.point_on_surface)
 st_extract_unique_points = _unary_constructive(K_con.extract_unique_points)
 
 
-def st_buffer(col, radius: float, quadsegs: int = 8):
-    """buffer (reference constructive.py:82-186)."""
+def st_buffer(col, radius: float, quadsegs: int = 8,
+              cap_style: str = "round", join_style: str = "round",
+              mitre_limit: float = 5.0, single_sided: bool = False):
+    """buffer with cap/join styles, mitre limit, single-sided and
+    negative (erode) radii (reference constructive.py:37-186)."""
     @pandas_udf(T.BinaryType())
     def _udf(b: pd.Series) -> pd.Series:
-        return _wkbs([K_con.buffer(_loads_safe(v),
-                                   radius, quadsegs) for v in b])
+        return _wkbs([K_con.buffer(_loads_safe(v), radius, quadsegs,
+                                   cap_style, join_style, mitre_limit,
+                                   single_sided) for v in b])
     return _udf(col)
 
 

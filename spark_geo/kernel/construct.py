@@ -111,39 +111,209 @@ def convex_hull(g: Geom | None) -> Geom | None:
     return Geom(POLYGON, rings=[hull])
 
 
-def buffer(g: Geom | None, radius: float, quadsegs: int = 8) -> Geom | None:
-    """Buffer (reference constructive.py:82-186).
+def _unit(v):
+    n = float(np.hypot(v[0], v[1]))
+    return v / n if n > 0 else v
 
-    v1 kernel: exact for points (regular 4·quadsegs-gon inscribed in
-    the circle, vertices at angles k·(π/2)/quadsegs from angle 0 —
-    matching GEOS's vertex placement so the reference's buffered-circle
-    STRtree fixtures reproduce); lines/polygons get a vertex-disc
-    Minkowski approximation via convex hull per segment, unioned as a
-    multipolygon (documented approximation)."""
+
+def _left_normal(d):
+    return np.array([-d[1], d[0]])
+
+
+def _arc_points(center, a0, a1, r, quadsegs):
+    """Interior points of an arc from angle a0 to a1 (a1 < a0 traverses
+    clockwise), stepping (π/2)/quadsegs — the same angular grid as the
+    point-buffer n-gon, so cap/join areas have closed forms."""
+    step = (np.pi / 2) / max(1, int(quadsegs))
+    sweep = a1 - a0
+    n = int(np.ceil(abs(sweep) / step)) if abs(sweep) > 1e-12 else 0
+    if n <= 1:
+        return []
+    ts = a0 + sweep * np.arange(1, n) / n
+    return [center + r * np.array([np.cos(t), np.sin(t)]) for t in ts]
+
+
+def _line_intersection(p1, d1, p2, d2):
+    den = d1[0] * d2[1] - d1[1] * d2[0]
+    if abs(den) < 1e-15:
+        return None
+    t = ((p2[0] - p1[0]) * d2[1] - (p2[1] - p1[1]) * d2[0]) / den
+    return p1 + t * d1
+
+
+def _offset_side(coords, r, join_style, mitre_limit, quadsegs, closed=False):
+    """Points of the polyline offset by r to the LEFT of the travel
+    direction, with outer-corner joins (round arc / mitre-with-limit /
+    bevel) and inner-corner line intersections.  Exact for paths whose
+    local feature size exceeds r (self-intersecting offsets are the
+    documented v1 approximation, as in the reference's GEOS
+    OffsetCurveBuilder contract)."""
+    pts = np.asarray(coords, dtype=np.float64)
+    if closed and np.allclose(pts[0], pts[-1]):
+        pts = pts[:-1]
+    n = len(pts)
+    dirs, norms = [], []
+    for i in range(n if closed else n - 1):
+        d = _unit(pts[(i + 1) % n] - pts[i])
+        dirs.append(d)
+        norms.append(_left_normal(d))
+    out = []
+    nseg = len(dirs)
+    if not closed:
+        out.append(pts[0] + r * norms[0])
+    rng = range(nseg) if closed else range(1, nseg)
+    for i in rng:
+        j = (i - 1) % nseg
+        P = pts[i]
+        b_prev = P + r * norms[j]     # end of previous offset segment
+        a_next = P + r * norms[i]     # start of next offset segment
+        cross = dirs[j][0] * dirs[i][1] - dirs[j][1] * dirs[i][0]
+        if abs(cross) < 1e-14:        # collinear
+            out.append(a_next)
+            continue
+        outer = (cross < 0) if r > 0 else (cross > 0)
+        if outer:
+            out.append(b_prev)
+            if join_style == "round":
+                a0 = np.arctan2(b_prev[1] - P[1], b_prev[0] - P[0])
+                a1 = np.arctan2(a_next[1] - P[1], a_next[0] - P[0])
+                # traverse on the outer side (shorter way around)
+                if r > 0:
+                    while a1 > a0:
+                        a1 -= 2 * np.pi
+                else:
+                    while a1 < a0:
+                        a1 += 2 * np.pi
+                out.extend(_arc_points(P, a0, a1, abs(r), quadsegs))
+            elif join_style == "mitre":
+                m = _line_intersection(b_prev, dirs[j], a_next, dirs[i])
+                if m is not None and np.hypot(*(m - P)) <= mitre_limit * abs(r):
+                    out.append(m)
+                # over-limit mitre degrades to bevel (GEOS clips; the
+                # bevel is the documented v1 simplification)
+            out.append(a_next)
+        else:
+            m = _line_intersection(b_prev, dirs[j], a_next, dirs[i])
+            out.append(m if m is not None else a_next)
+    if not closed:
+        out.append(pts[-1] + r * norms[-1])
+    return out
+
+
+def _cap(points_end, P, d, r, cap_style, quadsegs):
+    """Cap joining the left-offset end E_l to the right-offset end E_r
+    at path endpoint P with direction d (pointing out of the path)."""
+    nl = _left_normal(d)
+    e_l = P + r * nl
+    e_r = P - r * nl
+    if cap_style == "flat":
+        return []  # straight edge e_l -> e_r
+    if cap_style == "square":
+        return [e_l + r * d, e_r + r * d]
+    # round: half-circle from e_l through P+r*d to e_r (clockwise)
+    a0 = np.arctan2(e_l[1] - P[1], e_l[0] - P[0])
+    return _arc_points(P, a0, a0 - np.pi, r, quadsegs)
+
+
+def _ring_signed_area(ring):
+    x, y = ring[:, 0], ring[:, 1]
+    return 0.5 * float(np.dot(x[:-1], y[1:]) - np.dot(x[1:], y[:-1]))
+
+
+def _offset_ring(ring, dist, join_style, mitre_limit, quadsegs):
+    """Offset a closed ring by ``dist`` (positive = outward for a CCW
+    ring); returns the new closed ring or None when the ring collapses
+    (inward offset exceeding the inradius)."""
+    r = np.asarray(ring, dtype=np.float64)
+    ccw = _ring_signed_area(r) > 0
+    # left-of-travel for a CCW ring is the interior: outward = -dist
+    side = -dist if ccw else dist
+    out = _offset_side(r, side, join_style, mitre_limit, quadsegs, closed=True)
+    if len(out) < 3:
+        return None
+    arr = np.vstack([out, out[:1]])
+    new_area = _ring_signed_area(arr)
+    old_area = _ring_signed_area(r)
+    if new_area * old_area <= 0:  # orientation flipped: collapsed
+        return None
+    if dist < 0 and abs(new_area) >= abs(old_area):  # inward must shrink
+        return None
+    return arr
+
+
+def buffer(g: Geom | None, radius: float, quadsegs: int = 8,
+           cap_style: str = "round", join_style: str = "round",
+           mitre_limit: float = 5.0, single_sided: bool = False) -> Geom | None:
+    """Buffer with cap/join styles (reference constructive.py:37-186:
+    cap_style round|flat|square, join_style round|mitre|bevel,
+    mitre_limit, single_sided; negative radii erode polygons).
+
+    Points: regular 4·quadsegs-gon inscribed in the circle, vertices at
+    angles k·(π/2)/quadsegs (GEOS vertex placement — the reference's
+    buffered-circle STRtree fixtures reproduce).  Lines: exact offset
+    outline (sides + joins + caps) for paths whose local feature size
+    exceeds the radius.  Polygons: ring offset with joins; negative
+    radius erodes (exact for convex rings; collapse -> empty)."""
     if g is None:
         return None
-    if radius <= 0 or g.is_empty:
+    if g.is_empty:
         return Geom(POLYGON)
-    ang = np.arange(4 * quadsegs) * (np.pi / 2) / quadsegs
-    disc = np.column_stack([np.cos(ang), np.sin(ang)]) * radius
+    if radius == 0:
+        return Geom(POLYGON) if g.type_id not in (POLYGON, MULTIPOLYGON) else g
     if g.type_id == POINT:
+        if radius < 0:
+            return Geom(POLYGON)
+        if cap_style == "flat":
+            return Geom(POLYGON)  # reference: flat cap on a point is empty
+        if cap_style == "square":
+            x, y = g.coords[0]
+            return Geom.box(x - radius, y - radius, x + radius, y + radius)
+        ang = np.arange(4 * quadsegs) * (np.pi / 2) / quadsegs
+        disc = np.column_stack([np.cos(ang), np.sin(ang)]) * radius
         ring = g.coords[0] + disc
-        ring = np.vstack([ring, ring[:1]])
+        return Geom(POLYGON, rings=[np.vstack([ring, ring[:1]])])
+    if g.type_id in (MULTIPOINT, MULTILINESTRING, MULTIPOLYGON, GEOMETRYCOLLECTION):
+        parts = [buffer(p, radius, quadsegs, cap_style, join_style,
+                        mitre_limit, single_sided) for p in g.parts]
+        parts = [p for p in parts if p is not None and not p.is_empty]
+        if not parts:
+            return Geom(POLYGON)
+        return parts[0] if len(parts) == 1 else Geom(MULTIPOLYGON, parts=[
+            q for p in parts for q in (p.parts if p.type_id == MULTIPOLYGON else [p])])
+
+    if g.type_id in (LINESTRING, LINEARRING):
+        if radius < 0 and not single_sided:
+            return Geom(POLYGON)
+        pts = g.coords
+        if len(pts) < 2:
+            return Geom(POLYGON)
+        r = abs(radius)
+        if single_sided:
+            # offset on the left for +radius, right for -radius; flat ends
+            side = r if radius > 0 else -r
+            off = _offset_side(pts, side, join_style, mitre_limit, quadsegs)
+            ring = np.vstack([pts, off[::-1], pts[:1]])
+            return Geom(POLYGON, rings=[ring])
+        left = _offset_side(pts, r, join_style, mitre_limit, quadsegs)
+        right = _offset_side(pts[::-1], r, join_style, mitre_limit, quadsegs)
+        d_end = _unit(pts[-1] - pts[-2])
+        d_start = _unit(pts[0] - pts[1])
+        cap_e = _cap(None, pts[-1], d_end, r, cap_style, quadsegs)
+        cap_s = _cap(None, pts[0], d_start, r, cap_style, quadsegs)
+        ring_pts = left + cap_e + right + cap_s
+        ring = np.vstack([ring_pts, ring_pts[:1]])
         return Geom(POLYGON, rings=[ring])
-    if g.type_id == MULTIPOINT:
-        return Geom(MULTIPOLYGON, parts=[buffer(p, radius, quadsegs) for p in g.parts])
-    segs = M.segments(g)
-    parts = []
-    for x1, y1, x2, y2 in segs:
-        pts = np.vstack([np.array([x1, y1]) + disc, np.array([x2, y2]) + disc])
-        parts.append(convex_hull(Geom(MULTIPOINT, parts=[Geom.point(x, y) for x, y in pts])))
-    if g.type_id in (POLYGON, MULTIPOLYGON):
-        parts.append(g)  # interior stays covered
-    if not parts:
+
+    # POLYGON
+    shell = _offset_ring(g.rings[0], radius, join_style, mitre_limit, quadsegs)
+    if shell is None:
         return Geom(POLYGON)
-    if len(parts) == 1:
-        return parts[0]
-    return Geom(MULTIPOLYGON, parts=[p for p in parts if p.type_id == POLYGON])
+    holes = []
+    for h in g.rings[1:]:
+        hh = _offset_ring(h, -radius, join_style, mitre_limit, quadsegs)
+        if hh is not None:
+            holes.append(hh)
+    return Geom(POLYGON, rings=[shell] + holes)
 
 
 def clip_by_rect(g: Geom | None, xmin, ymin, xmax, ymax) -> Geom | None:

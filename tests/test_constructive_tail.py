@@ -102,3 +102,82 @@ def test_spark_constructive_tail(spark):
     np.testing.assert_allclose(r["obb_area"], 4.0, rtol=1e-9)
     assert r["mbc_area"] > 4.0
     assert r["mv"].startswith("POLYGON")
+
+
+# -- buffer styles (reference constructive.py:37-46, 82-186;
+#    parametrized like reference tests/test_constructive.py) ----------------
+
+import pytest
+from spark_geo.kernel.geom import Geom
+from spark_geo.kernel import construct as KC, measure as KM
+
+
+SEG = Geom.linestring(np.array([[0.0, 0.0], [8.0, 0.0]]))
+Q = 8
+DISC = 0.5 * 4 * Q * np.sin(np.pi / (2 * Q))  # unit-radius n-gon area
+
+
+@pytest.mark.parametrize("cap,expected", [
+    ("flat", 32.0),
+    ("square", 48.0),
+    ("round", 32.0 + 4.0 * DISC),
+])
+def test_buffer_cap_styles_segment(cap, expected):
+    b = KC.buffer(SEG, 2.0, Q, cap_style=cap)
+    np.testing.assert_allclose(KM.area(b), expected, rtol=1e-12)
+
+
+@pytest.mark.parametrize("join,expected", [
+    ("mitre", 74.0 * 38.0),
+    ("round", 70 * 34 + 2 * 2.0 * 104 + 4.0 * DISC),
+    ("bevel", 74.0 * 38.0 - 4 * (4.0 / 2)),  # four corners each lose r^2/2
+])
+def test_buffer_join_styles_box(join, expected):
+    b = KC.buffer(Geom.box(0, 0, 70, 34), 2.0, Q, join_style=join)
+    np.testing.assert_allclose(KM.area(b), expected, rtol=1e-12)
+
+
+def test_buffer_negative_polygon():
+    b = KC.buffer(Geom.box(0, 0, 70, 34), -2.0, Q, join_style="mitre")
+    np.testing.assert_allclose(KM.area(b), 66.0 * 30.0, rtol=1e-12)
+    collapsed = KC.buffer(Geom.box(0, 0, 70, 34), -17.0, Q, join_style="mitre")
+    assert collapsed.is_empty
+    # negative buffer on a line/point is empty (reference semantics)
+    assert KC.buffer(SEG, -1.0, Q).is_empty
+    assert KC.buffer(Geom.point(1, 1), -1.0, Q).is_empty
+
+
+def test_buffer_single_sided():
+    left = KC.buffer(SEG, 2.0, Q, single_sided=True)
+    right = KC.buffer(SEG, -2.0, Q, single_sided=True)
+    np.testing.assert_allclose(KM.area(left), 16.0, rtol=1e-12)
+    np.testing.assert_allclose(KM.area(right), 16.0, rtol=1e-12)
+    # left buffer lies above the segment, right below
+    assert left.bounds()[3] == 2.0 and left.bounds()[1] == 0.0
+    assert right.bounds()[1] == -2.0 and right.bounds()[3] == 0.0
+
+
+def test_buffer_point_styles():
+    p = Geom.point(3, 4)
+    assert KC.buffer(p, 2.0, Q, cap_style="flat").is_empty
+    sq = KC.buffer(p, 2.0, Q, cap_style="square")
+    np.testing.assert_allclose(KM.area(sq), 16.0, rtol=1e-12)
+    rd = KC.buffer(p, 2.0, Q)
+    np.testing.assert_allclose(KM.area(rd), 4.0 * DISC, rtol=1e-12)
+
+
+def test_buffer_mitre_limit_degrades_to_bevel():
+    # a sharp spike: mitre point would be far beyond the limit
+    spike = Geom.linestring(np.array([[0.0, 0.0], [10.0, 0.2], [0.0, 0.4]]))
+    lim = KC.buffer(spike, 1.0, Q, cap_style="flat", join_style="mitre",
+                    mitre_limit=1.5)
+    unlim = KC.buffer(spike, 1.0, Q, cap_style="flat", join_style="mitre",
+                      mitre_limit=1000.0)
+    assert KM.area(unlim) > KM.area(lim)  # clipped mitre is smaller
+
+
+def test_buffer_holed_polygon_shrinks_hole():
+    holed = Geom(3, rings=[Geom.box(0, 0, 70, 34).rings[0],
+                           Geom.box(30, 10, 40, 20).rings[0]])
+    b = KC.buffer(holed, 1.0, Q, join_style="mitre")
+    np.testing.assert_allclose(KM.area(b), 72 * 36 - 8 * 8, rtol=1e-12)
