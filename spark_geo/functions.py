@@ -392,12 +392,13 @@ def st_buffer(col, radius: float, quadsegs: int = 8,
     return _udf(col)
 
 
-def st_simplify(col, tolerance: float):
-    """simplify, Douglas–Peucker (reference constructive.py:712-746)."""
+def st_simplify(col, tolerance: float, preserve_topology: bool = False):
+    """simplify, Douglas–Peucker; preserve_topology keeps every ring
+    valid (reference constructive.py:712-758)."""
     @pandas_udf(T.BinaryType())
     def _udf(b: pd.Series) -> pd.Series:
-        return _wkbs([K_con.simplify(_loads_safe(v),
-                                     tolerance) for v in b])
+        return _wkbs([K_con.simplify(_loads_safe(v), tolerance,
+                                     preserve_topology) for v in b])
     return _udf(col)
 
 
@@ -532,12 +533,14 @@ def st_rings(b: pd.Series) -> pd.Series:
     return pd.Series(out, dtype=object)
 
 
-def st_set_precision(col, grid_size: float):
-    """set_precision, pointwise grid snap (reference geometry.py:699)."""
+def st_set_precision(col, grid_size: float, mode: str = "valid_output"):
+    """set_precision with the reference's three modes: valid_output
+    (snap + collapse repair, default), pointwise, keep_collapsed
+    (reference geometry.py:699-791)."""
     @pandas_udf(T.BinaryType())
     def _udf(b: pd.Series) -> pd.Series:
         return _wkbs([K_u.set_precision(
-            _loads_safe(v), grid_size) for v in b])
+            _loads_safe(v), grid_size, mode) for v in b])
     return _udf(col)
 
 
@@ -835,6 +838,28 @@ def st_minimum_bounding_circle(col, quadsegs: int = 8):
     return _udf(col)
 
 
+@pandas_udf(T.StructType([
+    T.StructField("polygons", T.BinaryType()),
+    T.StructField("cuts", T.BinaryType()),
+    T.StructField("dangles", T.BinaryType()),
+    T.StructField("invalid_rings", T.BinaryType())]))
+def st_polygonize_full(lines: pd.Series) -> pd.DataFrame:
+    """polygonize_full over an array<binary> column of linework per
+    row: returns (polygons, cuts, dangles, invalid_rings) — the
+    reference's four outputs (constructive.py:582-640)."""
+    rows = {"polygons": [], "cuts": [], "dangles": [], "invalid_rings": []}
+    for arr in lines:
+        if arr is None:
+            for k in rows:
+                rows[k].append(None)
+            continue
+        geoms = [_loads_safe(v) for v in arr]
+        p, c, d, i = K_con.polygonize_full(geoms)
+        for k, g in zip(rows, (p, c, d, i)):
+            rows[k].append(K_wkb.dumps(g))
+    return pd.DataFrame(rows)
+
+
 def st_snap(col, ref_col, tolerance: float):
     @pandas_udf(T.BinaryType())
     def _udf(b: pd.Series, r: pd.Series) -> pd.Series:
@@ -872,10 +897,13 @@ st_build_area = _unary_constructive(K_con.build_area)
 
 @pandas_udf(T.DoubleType())
 def st_precision_grid(b: pd.Series) -> pd.Series:
-    """get_precision (reference geometry.py:658-697): the engine does
-    not store a precision grid on geometries, so this is always 0.0
-    ('no precision set'), NULL for NULL — documented limitation."""
-    return pd.Series([None if v is None else 0.0 for v in b])
+    """get_precision (reference geometry.py:658-697 returns the stored
+    grid; WKB has no grid slot, so this engine INFERS the coarsest
+    power-of-10 grid all coordinates lie on — 0.0 = no grid detected,
+    matching the reference's 'no precision set' value).  NULL in,
+    NULL out."""
+    return pd.Series([None if (g := _loads_safe(v)) is None
+                      else K_u.get_precision(g) for v in b])
 
 
 def st_delaunay_triangles(col, only_edges: bool = False):

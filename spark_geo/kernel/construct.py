@@ -455,19 +455,58 @@ def _clip_segment(p1, p2, xmin, ymin, xmax, ymax):
     return np.asarray(a), np.asarray(b)
 
 
-def simplify(g: Geom | None, tolerance: float) -> Geom | None:
-    """Douglas–Peucker (reference constructive.py:712-746)."""
+def simplify(g: Geom | None, tolerance: float,
+             preserve_topology: bool = False) -> Geom | None:
+    """Douglas–Peucker (reference constructive.py:712-758).
+
+    ``preserve_topology=True`` mirrors the reference's
+    TopologyPreservingSimplifier contract: a component never collapses
+    or goes self-intersecting — any ring whose DP result would be
+    invalid (fewer than 4 points, zero area, or self-crossing) keeps
+    its ORIGINAL coordinates instead."""
     if g is None:
         return None
     if g.type_id in (LINESTRING, LINEARRING):
-        return Geom(g.type_id, _dp(g.coords, tolerance))
+        out = _dp(g.coords, tolerance)
+        if preserve_topology and len(out) < 2:
+            return g
+        return Geom(g.type_id, out)
     if g.type_id == POLYGON:
+        if preserve_topology:
+            rings = []
+            for r in g.rings:
+                rr = _dp_ring(r, tolerance)
+                if len(rr) < 4 or abs(M.ring_area(rr)) <= 1e-18 \
+                        or _ring_self_intersects(rr):
+                    rr = r.copy()
+                rings.append(rr)
+            return Geom(POLYGON, rings=rings)
         rings = [_dp_ring(r, tolerance) for r in g.rings]
         rings = [r for r in rings if len(r) >= 4]
         return Geom(POLYGON, rings=rings) if rings else Geom(POLYGON)
     if g.parts:
-        return Geom(g.type_id, parts=[simplify(p, tolerance) for p in g.parts])
+        return Geom(g.type_id, parts=[simplify(p, tolerance, preserve_topology)
+                                      for p in g.parts])
     return g
+
+
+def _ring_self_intersects(ring) -> bool:
+    """Proper self-intersection test between non-adjacent ring edges."""
+    n = len(ring) - 1
+    for i in range(n):
+        a1, a2 = ring[i], ring[i + 1]
+        for j in range(i + 2, n):
+            if i == 0 and j == n - 1:
+                continue  # first/last share the closing vertex
+            b1, b2 = ring[j], ring[j + 1]
+            den = (b2[1] - b1[1]) * (a2[0] - a1[0]) - (b2[0] - b1[0]) * (a2[1] - a1[1])
+            if den == 0:
+                continue
+            ua = ((b2[0] - b1[0]) * (a1[1] - b1[1]) - (b2[1] - b1[1]) * (a1[0] - b1[0])) / den
+            ub = ((a2[0] - a1[0]) * (a1[1] - b1[1]) - (a2[1] - a1[1]) * (a1[0] - b1[0])) / den
+            if 0 < ua < 1 and 0 < ub < 1:
+                return True
+    return False
 
 
 def _dp(coords, tol):
@@ -954,26 +993,18 @@ def build_area(g: Geom | None) -> Geom | None:
 
 
 def polygonize(lines) -> Geom | None:
-    """Assemble polygons from closed line loops (reference
-    constructive.py:530-580).  v1: each merged closed chain of the
-    input lines becomes a polygon shell (planar noding of crossing
-    lines deferred)."""
-    from . import linear as L
-    geoms = [g for g in lines if g is not None and not g.is_empty]
-    if not geoms:
-        return Geom(GEOMETRYCOLLECTION)
-    merged = L.line_merge(Geom(MULTILINESTRING, parts=[
-        p for g in geoms for p in (g.parts if g.parts else [g])
-        if p.type_id in (LINESTRING, LINEARRING)]))
-    chains = merged.parts if merged.parts else [merged]
-    polys = []
-    for ch in chains:
-        c = ch.coords
-        if len(c) >= 4 and np.array_equal(c[0], c[-1]):
-            polys.append(Geom(POLYGON, rings=[c.copy()]))
-    if not polys:
-        return Geom(GEOMETRYCOLLECTION)
-    return polys[0] if len(polys) == 1 else Geom(MULTIPOLYGON, parts=polys)
+    """Assemble polygons from linework WITH planar noding, hole
+    assignment, dangle/cut pruning (reference constructive.py:530-580;
+    full planar-graph algorithm in kernel.polygonize)."""
+    from . import polygonize as PZ
+    return PZ.polygonize(lines)
+
+
+def polygonize_full(lines):
+    """(polygons, cuts, dangles, invalid_rings) — reference
+    constructive.py:582-640."""
+    from . import polygonize as PZ
+    return PZ.polygonize_full(lines)
 
 
 # -- aggregate set ops -------------------------------------------------

@@ -222,23 +222,102 @@ def get_rings(g: Geom | None) -> list:
     return out
 
 
+def _dedup_consecutive(c):
+    if len(c) < 2:
+        return c
+    keep = np.ones(len(c), dtype=bool)
+    keep[1:] = np.any(c[1:] != c[:-1], axis=1)
+    return c[keep]
+
+
 def set_precision(g: Geom | None, grid_size: float, mode: str = "valid_output") -> Geom | None:
-    """Snap coordinates to a grid (reference geometry.py:699-791;
-    'pointwise' semantics — valid_output repair is deferred)."""
+    """Snap coordinates to a grid (reference geometry.py:699-791).
+
+    Modes match the reference's enum:
+    - ``valid_output`` (default): snap, drop consecutive duplicate
+      vertices, and remove rings/lines collapsed below the grid
+      (polygon ring < 4 distinct points, line < 2) — the output stays
+      structurally valid;
+    - ``pointwise``: raw per-coordinate snap, collapses preserved
+      verbatim;
+    - ``keep_collapsed``: like valid_output but collapsed components
+      are kept, reduced to their lower-dimensional form (ring -> its
+      remaining line/point coordinates)."""
     if g is None or grid_size <= 0:
         return g
 
     def snap(c):
-        return np.round(c / grid_size) * grid_size
+        return np.round(np.asarray(c, dtype=np.float64) / grid_size) * grid_size
 
-    if g.type_id == POLYGON:
-        return Geom(POLYGON, rings=[snap(r) for r in g.rings])
+    if mode == "pointwise":
+        if g.type_id == POLYGON:
+            return Geom(POLYGON, rings=[snap(r) for r in g.rings])
+        if g.parts:
+            return Geom(g.type_id, parts=[set_precision(p, grid_size, mode)
+                                          for p in g.parts])
+        out = Geom(g.type_id, snap(g.coords))
+        if g.has_z and g.zs is not None:
+            out.has_z, out.zs = True, g.zs.copy()
+        return out
+
     if g.parts:
-        return Geom(g.type_id, parts=[set_precision(p, grid_size, mode) for p in g.parts])
+        parts = [set_precision(p, grid_size, mode) for p in g.parts]
+        parts = [p for p in parts if p is not None and not p.is_empty]
+        if not parts:
+            from .geom import GEOMETRYCOLLECTION
+            return Geom(GEOMETRYCOLLECTION)
+        return parts[0] if len(parts) == 1 else Geom(g.type_id, parts=parts)
+    if g.type_id == POLYGON:
+        rings = []
+        collapsed = []
+        for i, r in enumerate(g.rings):
+            rr = _dedup_consecutive(snap(r))
+            if len(rr) and not np.array_equal(rr[0], rr[-1]):
+                rr = np.vstack([rr, rr[:1]])
+            if len(rr) >= 4:
+                rings.append(rr)
+            elif i == 0:
+                collapsed = rr[:-1] if len(rr) > 1 and \
+                    np.array_equal(rr[0], rr[-1]) else rr
+        if not rings or (g.rings and len(_dedup_consecutive(snap(g.rings[0]))) < 4):
+            if mode == "keep_collapsed" and len(collapsed):
+                if len(collapsed) >= 2:
+                    return Geom(LINESTRING, np.asarray(collapsed))
+                return Geom(POINT, np.asarray(collapsed))
+            return Geom(POLYGON)
+        return Geom(POLYGON, rings=rings)
+    if g.type_id in (LINESTRING, LINEARRING):
+        c = _dedup_consecutive(snap(g.coords))
+        if len(c) >= 2:
+            return Geom(g.type_id, c)
+        if mode == "keep_collapsed" and len(c):
+            return Geom(POINT, c)
+        return Geom(LINESTRING)
     out = Geom(g.type_id, snap(g.coords))
     if g.has_z and g.zs is not None:
         out.has_z, out.zs = True, g.zs.copy()
     return out
+
+
+def get_precision(g: Geom | None) -> float | None:
+    """Inferred precision grid (reference geometry.py:658-697 returns
+    the STORED grid; WKB carries no grid slot, so this engine infers
+    the coarsest power-of-10 grid, 1.0 down to 1e-9, that every
+    coordinate lies on exactly — 0.0 means 'no grid detected', the
+    reference's 'no precision set').  Documented divergence."""
+    if g is None:
+        return None
+    from . import measure as M
+    flat = M.vertices(g)
+    if flat is None or not len(flat):
+        return 0.0
+    flat = np.asarray(flat, dtype=np.float64).ravel()
+    for k in range(0, 10):
+        grid = 10.0 ** (-k)
+        q = flat / grid
+        if np.allclose(q, np.round(q), rtol=0, atol=1e-9):
+            return grid
+    return 0.0
 
 
 def force_3d(g: Geom | None, z: float = 0.0) -> Geom | None:

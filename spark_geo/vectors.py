@@ -111,6 +111,72 @@ def ann_topk_lsh(probes: DataFrame, corpus: DataFrame, k: int = 5, *,
             .select(probe_id, corpus_id, "sim", "rank"))
 
 
+def fit_centroids(df: DataFrame, k: int = 16, *, vec_col: str = "embedding",
+                  sample: int = 20_000, iters: int = 10,
+                  seed: int = 7) -> list[list[float]]:
+    """Driver-side Lloyd k-means over a bounded sample — the offline
+    clustering that feeds IVF.  The sample is capped (``limit``), so
+    this is metadata-scale work no matter the corpus size; the
+    centroid list is then broadcast into Catalyst expressions."""
+    pdf = df.select(vec_col).limit(sample).toPandas()
+    X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), size=min(k, len(X)), replace=False)]
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        lab = d.argmin(axis=1)
+        for j in range(len(C)):
+            m = lab == j
+            if m.any():
+                C[j] = X[m].mean(axis=0)
+    return C.round(6).tolist()
+
+
+def ivf_probe_cells(df: DataFrame, centroids: list[list[float]],
+                    n_probe: int = 2, vec_col: str = "embedding",
+                    out_col: str = "ivf_cells") -> DataFrame:
+    """The ``n_probe`` nearest centroid ids per row, as an array column
+    — pure Catalyst (array_sort over (distance, id) structs)."""
+    structs = []
+    for i, cvec in enumerate(centroids):
+        lit = F.array(*[F.lit(float(v)) for v in cvec])
+        d = F.aggregate(F.zip_with(vec_col, lit,
+                                   lambda x, y: (x.cast("double") - y) ** 2),
+                        F.lit(0.0), lambda acc, v: acc + v)
+        structs.append(F.struct(d.alias("d"), F.lit(i).cast("int").alias("id")))
+    ordered = F.array_sort(F.array(*structs))
+    cells = F.transform(F.slice(ordered, 1, n_probe), lambda s: s["id"])
+    return df.withColumn(out_col, cells)
+
+
+def ivf_topk(probes: DataFrame, corpus: DataFrame,
+             centroids: list[list[float]], k: int = 5, n_probe: int = 2, *,
+             probe_id: str = "probe_id", corpus_id: str = "neighbor_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """IVF ANN search: corpus assigned to its nearest cell ONCE
+    (write partitioned by cell for reuse); each probe explodes to its
+    ``n_probe`` nearest cells and equi-joins the matching inverted
+    lists; exact cosine refine + window top-k.  Same coarse-key +
+    exact-refine shape as the cell spatial join — the join is a plain
+    equi-join Catalyst can broadcast/skew-split."""
+    c = ivf_assign(corpus.select(F.col(corpus_id), F.col(vec_col)),
+                   centroids, vec_col=vec_col, out_col="_cell") \
+        .withColumnRenamed(vec_col, "_cv")
+    p = (ivf_probe_cells(probes.select(F.col(probe_id), F.col(vec_col)),
+                         centroids, n_probe=n_probe, vec_col=vec_col)
+         .withColumnRenamed(vec_col, "_pv")
+         .select(probe_id, "_pv", F.explode("ivf_cells").alias("_cell")))
+    cand = (p.join(c, "_cell")
+            .where(F.col(probe_id) != F.col(corpus_id)))
+    sim = _dot("_pv", "_cv") / (_norm("_pv") * _norm("_cv"))
+    w = Window.partitionBy(probe_id).orderBy(F.col("sim").desc(),
+                                             F.col(corpus_id).asc())
+    return (cand.withColumn("sim", sim)
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(probe_id, corpus_id, "sim", "rank"))
+
+
 def ivf_assign(df: DataFrame, centroids: list[list[float]],
                vec_col: str = "embedding", out_col: str = "ivf_cell") -> DataFrame:
     """IVF coarse quantization: assign each vector to its nearest

@@ -181,3 +181,64 @@ def test_buffer_holed_polygon_shrinks_hole():
                            Geom.box(30, 10, 40, 20).rings[0]])
     b = KC.buffer(holed, 1.0, Q, join_style="mitre")
     np.testing.assert_allclose(KM.area(b), 72 * 36 - 8 * 8, rtol=1e-12)
+
+
+# -- polygonize_full (reference constructive.py:582-640) --------------------
+
+def _ls(*pts):
+    return Geom.linestring(np.asarray(pts, dtype=float))
+
+
+_SQ = [_ls((0, 0), (4, 0)), _ls((4, 0), (4, 4)),
+       _ls((4, 4), (0, 4)), _ls((0, 4), (0, 0))]
+
+
+def test_polygonize_full_square_and_dangle():
+    p, c, d, inv = KC.polygonize_full(_SQ + [_ls((4, 4), (7, 7))])
+    np.testing.assert_allclose(KM.area(p), 16.0)
+    assert c.is_empty and inv.is_empty
+    np.testing.assert_allclose(KM.length(d), np.hypot(3, 3))
+
+
+def test_polygonize_nodes_crossing_lines():
+    # un-noded diagonals through the square -> four triangles
+    p = KC.polygonize(_SQ + [_ls((0, 0), (4, 4)), _ls((4, 0), (0, 4))])
+    assert len(p.parts) == 4
+    np.testing.assert_allclose(KM.area(p), 16.0)
+
+
+def test_polygonize_hole_assignment():
+    inner = [_ls((1, 1), (2, 1)), _ls((2, 1), (2, 2)),
+             _ls((2, 2), (1, 2)), _ls((1, 2), (1, 1))]
+    p = KC.polygonize(_SQ + inner)
+    areas = sorted(KM.area(q) for q in p.parts)
+    np.testing.assert_allclose(areas, [1.0, 15.0])  # inner + outer-with-hole
+
+
+def test_polygonize_full_cut_edge():
+    right = [_ls((6, 0), (10, 0)), _ls((10, 0), (10, 4)),
+             _ls((10, 4), (6, 4)), _ls((6, 4), (6, 0))]
+    bridge = [_ls((4, 2), (6, 2))]
+    p, c, d, inv = KC.polygonize_full(_SQ + right + bridge)
+    np.testing.assert_allclose(KM.area(p), 32.0)
+    np.testing.assert_allclose(KM.length(c), 2.0)  # the bridge is a cut
+    assert d.is_empty
+
+
+def test_spark_polygonize_full(spark):
+    from pyspark.sql import functions as F
+    from spark_geo import functions as SG
+    wkts = ["LINESTRING (0 0, 4 0)", "LINESTRING (4 0, 4 4)",
+            "LINESTRING (4 4, 0 4)", "LINESTRING (0 4, 0 0)",
+            "LINESTRING (4 4, 7 7)"]
+    df = spark.createDataFrame([(1, wkts)], "id int, wkts array<string>")
+    geoms_df = (df.select("id", F.explode("wkts").alias("w"))
+                .select("id", SG.st_from_wkt("w").alias("g"))
+                .groupBy("id").agg(F.collect_list("g").alias("geoms")))
+    r = geoms_df.select(SG.st_polygonize_full("geoms").alias("pf")).select(
+        SG.st_area("pf.polygons").alias("a"),
+        SG.st_length("pf.dangles").alias("dl"),
+        SG.st_is_empty("pf.cuts").alias("ce")).first()
+    np.testing.assert_allclose(r["a"], 16.0)
+    np.testing.assert_allclose(r["dl"], np.hypot(3, 3))
+    assert r["ce"] is True

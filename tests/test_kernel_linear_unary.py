@@ -158,3 +158,53 @@ def test_difference_fast_paths():
     # partial overlap now routes through the general GH overlay
     d = C.difference(a, Geom.box(0.5, 0.5, 2, 2))
     assert M.area(d) == 0.75
+
+
+# -- set_precision modes + inferred get_precision (reference
+#    geometry.py:658-791) ---------------------------------------------------
+
+def test_set_precision_modes():
+    import numpy as np
+    from spark_geo.kernel.geom import Geom
+    from spark_geo.kernel import unary as U, measure as M
+    sliver = Geom(3, rings=[np.array([[0, 0], [0.2, 0], [0.2, 0.1], [0, 0]], float)])
+    assert U.set_precision(sliver, 1.0, "valid_output").is_empty
+    kept = U.set_precision(sliver, 1.0, "keep_collapsed")
+    assert kept.type_id == 0  # collapsed to its point
+    pw = U.set_precision(sliver, 1.0, "pointwise")
+    assert len(pw.rings[0]) == 4  # raw snap keeps the degenerate ring
+    snapped = U.set_precision(Geom.box(0.1, 0.1, 9.9, 4.9), 1.0)
+    assert M.area(snapped) == 50.0
+    seg = Geom.linestring(np.array([[0.1, 0.1], [0.2, 0.2]]))
+    assert U.set_precision(seg, 1.0).is_empty
+    assert U.set_precision(seg, 1.0, "keep_collapsed").type_id == 0
+
+
+def test_get_precision_inferred():
+    import numpy as np
+    from spark_geo.kernel.geom import Geom
+    from spark_geo.kernel import unary as U
+    assert U.get_precision(Geom.box(0, 0, 70, 34)) == 1.0
+    assert U.get_precision(Geom.point(1.25, 3.5)) == 0.01
+    assert U.get_precision(Geom.point(np.pi, 1.0)) == 0.0
+    assert U.get_precision(None) is None
+    # set_precision then get_precision round-trips the grid
+    g = U.set_precision(Geom.point(1.2345678, 2.7182818), 0.01, "pointwise")
+    assert U.get_precision(g) == 0.01
+
+
+def test_simplify_preserve_topology():
+    import numpy as np
+    from spark_geo.kernel.geom import Geom
+    from spark_geo.kernel import construct as C, measure as M
+    # a thin Z-shaped ring that plain DP would collapse at tol 10
+    ring = np.array([[0, 0], [4, 0], [4, 1], [0, 1], [0, 0]], float)
+    g = Geom(3, rings=[ring])
+    plain = C.simplify(g, 10.0)
+    kept = C.simplify(g, 10.0, preserve_topology=True)
+    assert plain.is_empty or M.area(plain) == 0.0
+    assert M.area(kept) == 4.0  # original ring retained
+    # gentle tolerance behaves like plain DP
+    dense = C.segmentize(Geom.linestring(np.array([[0., 0.], [8., 0.]])), 1.0)
+    s = C.simplify(dense, 0.5, preserve_topology=True)
+    assert len(s.coords) == 2

@@ -142,3 +142,27 @@ def test_sample_frames(spark):
     rows = frames.collect()
     assert len(rows) == 9  # 30 fake frames per video, every 10th -> 3 each
     assert all(len(r["frame"]) > 0 for r in rows)
+
+
+def test_ivf_topk_recall(spark):
+    """IVF probe operator: n_probe nearest cells searched, recall vs
+    the exact brute-force baseline on clustered data."""
+    rng = np.random.RandomState(11)
+    centers = rng.normal(scale=10.0, size=(4, 8))
+    base = np.vstack([c + rng.normal(scale=0.5, size=(15, 8)) for c in centers])
+    rows = [(i, [float(x) for x in base[i]]) for i in range(len(base))]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>") \
+        .select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    probes = corpus.where(F.col("neighbor_id") % 15 == 0).select(
+        F.col("neighbor_id").alias("probe_id"), "embedding")
+    cents = VX.fit_centroids(corpus, k=4, sample=60, iters=10)
+    assert len(cents) == 4 and len(cents[0]) == 8
+    exact = VX.cosine_topk(probes, corpus, k=3)
+    approx = VX.ivf_topk(probes, corpus, cents, k=3, n_probe=2)
+    e = {(r["probe_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["probe_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.75, f"IVF recall {recall}"
+    # probe cells are the n_probe nearest centroids, deterministic
+    pc = VX.ivf_probe_cells(probes, cents, n_probe=2).first()
+    assert len(pc["ivf_cells"]) == 2
