@@ -47,7 +47,18 @@ BOX_Y0 = "((CAST(FLOOR(n_nationkey/5.0) AS BIGINT) % 5)*36.0 - 90.0)"
 
 
 def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Read one star-schema table.  The sf0.x parquet files are single
+    row-group files that Spark cannot split, so a local[32] run would
+    otherwise execute every probe in ONE task — an artifact a real
+    multi-file 100 TB table never exhibits.  The bench sets
+    ``spark_geo.bench.input_partitions`` to emulate the multi-split
+    scan; correctness runs leave it unset and plans stay shuffle-free."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    try:
+        n = int(spark.conf.get("spark_geo.bench.input_partitions", "0"))
+    except Exception:
+        n = 0
+    return df.repartition(n) if n > 0 else df
 
 
 def _cust_points(spark, sf_dir) -> DataFrame:

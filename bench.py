@@ -10,6 +10,13 @@ CC-style pages table sized to the scale factor (1 page per lineitem
 row), geocode → point → cell-encode → broadcast-STRtree join against a
 290-polygon world layer → per-region tile aggregation.  Page synthesis
 is column arithmetic standing in for the 100 TB scan.
+
+Protocol (round 2+): every query is 1 warmup + 3 timed runs, median —
+steady-state throughput, the regime a long-running cluster job
+operates in (round 1 timed suite queries one-shot, which mixed Python
+worker spin-up into the numbers).  Inputs are repartitioned to the
+core count because the sf parquet is a single unsplittable row group —
+a real multi-file table arrives pre-split.
 """
 
 from __future__ import annotations
@@ -119,11 +126,24 @@ def main():
     if only:
         suite = {k: v for k, v in suite.items() if k in only.split(",")}
 
+    # emulate the multi-split scan a 100 TB table provides (the sf
+    # parquet is one unsplittable row group; see __spark_entry__._load)
+    spark.conf.set("spark_geo.bench.input_partitions", str(cpus))
+
     times = {}
     for name, fn in suite.items():
-        t0 = time.perf_counter()
-        fn()
-        times[name] = round(time.perf_counter() - t0, 3)
+        if name == "flagship_pages":
+            fn()  # handles its own warmup + median
+            times[name] = 0.0
+            continue
+        fn()  # warmup: worker spin-up + codegen out of the timing
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn()
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        times[name] = round(samples[len(samples) // 2], 3)
     if "sec" in flagship_median:
         times["flagship_pages"] = round(flagship_median["sec"], 3)
     total = round(sum(times.values()), 3)

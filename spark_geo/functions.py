@@ -162,6 +162,16 @@ def st_as_wkt(b: pd.Series) -> pd.Series:
     return pd.Series([K_wkt.to_wkt(_loads_safe(v), 6) for v in b], dtype=object)
 
 
+def st_as_wkt_prec(col, precision: int = 6):
+    """to_wkt with explicit rounding_precision (reference io.py:102:
+    rounding_precision=-1 -> full repr, no rounding)."""
+    @pandas_udf(T.StringType())
+    def _udf(b: pd.Series) -> pd.Series:
+        return pd.Series([K_wkt.to_wkt(_loads_safe(v), precision)
+                          for v in b], dtype=object)
+    return _udf(col)
+
+
 def st_make_box(xmin, ymin, xmax, ymax):
     """box() (reference creation.py:271-298) as a column expression."""
     @pandas_udf(T.BinaryType())

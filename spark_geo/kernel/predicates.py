@@ -285,20 +285,73 @@ def disjoint(a, b) -> bool:
     return not intersects(a, b)
 
 
+def _segment_split_params(seg, segs) -> np.ndarray:
+    """Parameters t in [0,1] where ``seg`` meets any of ``segs`` —
+    proper crossings, endpoint touches, AND collinear-overlap endpoints
+    (vectorized).  Splitting at these t's decomposes the segment into
+    pieces that are each entirely inside or outside a polygon bounded
+    by ``segs``."""
+    x1, y1, x2, y2 = seg
+    dx, dy = x2 - x1, y2 - y1
+    x3, y3, x4, y4 = segs[:, 0], segs[:, 1], segs[:, 2], segs[:, 3]
+    den = (y4 - y3) * dx - (x4 - x3) * dy
+    eps = 1e-12
+    ts = []
+    nonpar = np.abs(den) > eps
+    if nonpar.any():
+        d = den[nonpar]
+        ua = ((x4 - x3)[nonpar] * (y1 - y3[nonpar])
+              - (y4 - y3)[nonpar] * (x1 - x3[nonpar])) / d
+        ub = (dx * (y1 - y3[nonpar]) - dy * (x1 - x3[nonpar])) / d
+        hit = (ua >= -eps) & (ua <= 1 + eps) & (ub >= -eps) & (ub <= 1 + eps)
+        ts.append(np.clip(ua[hit], 0.0, 1.0))
+    # collinear boundary pieces: project their endpoints onto seg
+    par = ~nonpar
+    if par.any():
+        cross3 = (x3[par] - x1) * dy - (y3[par] - y1) * dx
+        col = np.abs(cross3) <= eps * max(1.0, abs(dx) + abs(dy))
+        if col.any():
+            L2 = dx * dx + dy * dy
+            if L2 > 0:
+                xs3, ys3 = x3[par][col], y3[par][col]
+                xs4, ys4 = x4[par][col], y4[par][col]
+                t3 = ((xs3 - x1) * dx + (ys3 - y1) * dy) / L2
+                t4 = ((xs4 - x1) * dx + (ys4 - y1) * dy) / L2
+                for t in (t3, t4):
+                    ok = (t >= -eps) & (t <= 1 + eps)
+                    ts.append(np.clip(t[ok], 0.0, 1.0))
+    if not ts:
+        return np.empty(0, dtype=np.float64)
+    return np.unique(np.concatenate(ts))
+
+
 def covers(a: Geom | None, b: Geom | None) -> bool:
     """No point of b outside a (reference predicates.py:617-660).
 
-    Sampling approach: all vertices and segment midpoints of b must be
-    covered by a, and b's segments must not properly cross a's
-    boundary.  Exact for convex / grid fixtures; documented
-    approximation for adversarial concave inputs."""
+    For polygonal a this is EXACT: every segment of b is split at all
+    of its intersections with a's boundary (proper crossings, touches,
+    collinear overlaps) and the midpoint of every resulting piece must
+    be covered — a piece that exits a concave pocket between vertex
+    samples produces an uncovered midpoint, so exit/re-enter paths
+    cannot slip through."""
     if a is None or b is None or a.is_empty or b.is_empty:
         return False
     pts = _sample_points(b)
     if not len(pts) or not _points_covered(pts, a).all():
         return False
-    if _is_polygonal(a) and _proper_crossing(M.segments(b), M.segments(a)):
-        return False
+    if _is_polygonal(a):
+        bsegs = M.segments(b)
+        asegs = M.segments(a)
+        if len(bsegs) and len(asegs):
+            for seg in bsegs:
+                cuts = _segment_split_params(seg, asegs)
+                knots = np.unique(np.concatenate(
+                    [[0.0, 1.0], cuts])) if len(cuts) else np.array([0.0, 1.0])
+                mids_t = (knots[:-1] + knots[1:]) / 2.0
+                mx = seg[0] + mids_t * (seg[2] - seg[0])
+                my = seg[1] + mids_t * (seg[3] - seg[1])
+                if not _points_covered(np.column_stack([mx, my]), a).all():
+                    return False
     return True
 
 

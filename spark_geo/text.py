@@ -177,13 +177,29 @@ def doc_fingerprint(df: DataFrame, id_col: str = "doc_id",
     return df.select(id_col, F.xxhash64(norm).alias("fingerprint"))
 
 
-# language profiles: high-frequency marker words (public common-word lists)
+# language profiles: high-frequency marker words (public common-word
+# lists — top function words per language)
 _LANG_MARKERS = {
-    "en": ["the", "and", "of", "to", "is", "that", "with"],
-    "de": ["der", "die", "und", "das", "ist", "nicht", "mit"],
-    "fr": ["le", "la", "et", "les", "des", "est", "dans"],
-    "es": ["el", "la", "los", "las", "que", "con", "por"],
-    "pt": ["o", "os", "das", "dos", "um", "uma", "para"],
+    "en": ["the", "and", "of", "to", "is", "that", "with", "for", "was",
+           "are", "this", "have", "from", "not", "they"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "von",
+           "den", "ein", "eine", "auf", "auch", "sich", "werden"],
+    "fr": ["le", "la", "et", "les", "des", "est", "dans", "une", "pour",
+           "qui", "sur", "pas", "plus", "vous", "sont"],
+    "es": ["el", "la", "los", "las", "que", "con", "por", "una", "del",
+           "se", "para", "como", "más", "pero", "sus"],
+    "pt": ["o", "os", "das", "dos", "um", "uma", "para", "não", "com",
+           "uma", "mais", "como", "mas", "foi", "ser"],
+    "it": ["il", "di", "che", "e", "la", "per", "un", "del", "con",
+           "non", "una", "sono", "alla", "come", "anche"],
+    "nl": ["de", "het", "een", "van", "en", "dat", "niet", "zijn",
+           "voor", "met", "aan", "ook", "maar", "naar", "worden"],
+    "sv": ["och", "att", "det", "som", "en", "av", "är", "för", "med",
+           "till", "den", "har", "inte", "ett", "om"],
+    "pl": ["nie", "się", "jest", "na", "do", "że", "ale", "jak", "przez",
+           "tym", "tego", "jego", "oraz", "być", "przy"],
+    "tr": ["bir", "ve", "bu", "için", "ile", "olarak", "daha", "gibi",
+           "çok", "ancak", "olan", "sonra", "kadar", "değil", "en"],
 }
 
 

@@ -168,3 +168,29 @@ def test_hausdorff():
     b = Geom.linestring([(0, 1), (1, 1)])
     assert M.hausdorff_distance(a, b) == 1.0
     assert np.isnan(M.hausdorff_distance(None, b))
+
+
+def test_covers_concave_exact():
+    """Exit/re-enter across a concave pocket between vertex samples is
+    caught: segments split at every boundary intersection, each piece
+    midpoint tested (reference GEOS DE-9IM exactness for covers)."""
+    import numpy as np
+    from spark_geo.kernel.geom import Geom
+    from spark_geo.kernel import predicates as P
+    U = Geom(3, rings=[np.array(
+        [[0, 0], [10, 0], [10, 10], [7, 10], [7, 3],
+         [3, 3], [3, 10], [0, 10], [0, 0]], float)])
+    # crosses the notch: not covered
+    assert not P.covers(U, Geom.linestring(np.array([[1., 8.], [9., 8.]])))
+    # below the notch: covered
+    assert P.covers(U, Geom.linestring(np.array([[1., 1.], [9., 1.]])))
+    # collinear run on the notch bottom: boundary counts as covered
+    assert P.covers(U, Geom.linestring(np.array([[2., 3.], [8., 3.]])))
+    # boundary run then into the notch interior: not covered
+    assert not P.covers(U, Geom.linestring(
+        np.array([[3., 3.], [5., 3.], [5., 8.]])))
+    # wall of the notch itself: covered (on boundary)
+    assert P.covers(U, Geom.linestring(np.array([[7., 3.], [7., 8.]])))
+    # boxes
+    assert P.covers(U, Geom.box(0.5, 0.5, 2.5, 9.0))
+    assert not P.covers(U, Geom.box(1, 6, 9, 9))
