@@ -886,10 +886,13 @@ def minimum_bounding_circle(g: Geom | None, quadsegs: int = 8) -> Geom | None:
 
 
 def make_valid(g: Geom | None) -> Geom | None:
-    """Repair common invalidities (reference constructive.py:463-480,
-    GEOS>=3.8).  v1 scope: close unclosed rings, drop degenerate
+    """Repair invalidities (reference constructive.py:463-480,
+    GEOS>=3.8 MakeValid): close unclosed rings, drop degenerate
     (<4-point / zero-area) rings, normalize ring orientation, recurse
-    into collections.  Self-intersection rebuilds (bowties) deferred."""
+    into collections, and REBUILD self-intersecting rings (bowties) by
+    noding the boundary and polygonizing the faces — the GEOS
+    'linework' strategy (a bowtie becomes the two-triangle
+    multipolygon)."""
     if g is None:
         return None
     if g.type_id == POLYGON:
@@ -898,13 +901,27 @@ def make_valid(g: Geom | None) -> Geom | None:
             if len(r) == 0:
                 continue
             rr = _close_ring(r)
+            # a self-crossing ring can have SIGNED area 0 (bowtie) —
+            # test the crossing before the degeneracy drop
+            if len(rr) >= 4 and _ring_self_intersects(rr):
+                rings.append(rr)
+                continue
             if len(rr) < 4 or abs(M.ring_area(rr)) <= 0:
                 if k == 0:
                     return Geom(POLYGON)
                 continue
             rings.append(rr)
-        out = Geom(POLYGON, rings=rings) if rings else Geom(POLYGON)
-        return normalize(out)
+        if not rings:
+            return Geom(POLYGON)
+        if any(_ring_self_intersects(r) for r in rings):
+            # bowtie rebuild: node the full boundary linework and
+            # re-assemble the faces (kernel.polygonize)
+            from . import polygonize as PZ
+            lines = [Geom(LINESTRING, r.copy()) for r in rings]
+            rebuilt = PZ.polygonize(lines)
+            if rebuilt is not None and not rebuilt.is_empty:
+                return normalize(rebuilt)
+        return normalize(Geom(POLYGON, rings=rings))
     if g.parts:
         parts = [make_valid(p) for p in g.parts]
         return Geom(g.type_id, parts=[p for p in parts if p is not None])
@@ -938,39 +955,31 @@ def snap(g: Geom | None, reference: Geom | None, tolerance: float) -> Geom | Non
     return Geom(g.type_id, snap_coords(g.coords))
 
 
-def offset_curve(g: Geom | None, distance: float) -> Geom | None:
-    """Parallel offset of a line (reference constructive.py:188-246).
-    v1: per-segment normal offset with miter joins on the offset side
-    (positive = left of direction, like GEOS); self-intersection
-    cleanup of sharp concave joins deferred."""
+def offset_curve(g: Geom | None, distance: float, quadsegs: int = 8,
+                 join_style: str = "mitre",
+                 mitre_limit: float = 5.0) -> Geom | None:
+    """Parallel offset of a line (reference constructive.py:188-246:
+    quadsegs, join_style round|mitre|bevel, mitre_limit).  Positive
+    distance = left of travel direction, like GEOS; shares the buffer's
+    offset/join machinery (_offset_side); self-intersection cleanup of
+    offsets tighter than the local feature size is the documented
+    approximation."""
     if g is None:
         return None
     if g.type_id == MULTILINESTRING:
         return Geom(MULTILINESTRING,
-                    parts=[offset_curve(p, distance) for p in g.parts])
+                    parts=[offset_curve(p, distance, quadsegs, join_style,
+                                        mitre_limit) for p in g.parts])
     if g.type_id not in (LINESTRING, LINEARRING) or len(g.coords) < 2:
         return Geom(LINESTRING)
     c = g.coords
     seg = np.diff(c, axis=0)
-    L = np.hypot(seg[:, 0], seg[:, 1])
-    keep = L > 0
-    seg, L = seg[keep], L[keep]
-    if not len(seg):
+    keep = np.hypot(seg[:, 0], seg[:, 1]) > 0
+    pts = np.vstack([c[:1], c[1:][keep]])
+    if len(pts) < 2:
         return Geom(LINESTRING)
-    normals = np.column_stack([-seg[:, 1], seg[:, 0]]) / L[:, None]
-    pts = [c[0] + normals[0] * distance]
-    for i in range(1, len(seg)):
-        n_avg = normals[i - 1] + normals[i]
-        norm = np.hypot(*n_avg)
-        if norm < 1e-12:  # 180-degree turn: fall back to segment normal
-            pts.append(c[i] + normals[i] * distance)
-            continue
-        n_avg = n_avg / norm
-        # miter length so the join stays parallel to both segments
-        cos_half = np.clip(np.dot(n_avg, normals[i]), 1e-6, 1.0)
-        pts.append(c[i] + n_avg * (distance / cos_half))
-    pts.append(c[-1] + normals[-1] * distance)
-    return Geom(LINESTRING, np.asarray(pts))
+    out = _offset_side(pts, distance, join_style, mitre_limit, quadsegs)
+    return Geom(LINESTRING, np.asarray(out))
 
 
 def build_area(g: Geom | None) -> Geom | None:

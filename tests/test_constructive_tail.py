@@ -242,3 +242,16 @@ def test_spark_polygonize_full(spark):
     np.testing.assert_allclose(r["a"], 16.0)
     np.testing.assert_allclose(r["dl"], np.hypot(3, 3))
     assert r["ce"] is True
+
+
+def test_make_valid_bowtie_rebuild():
+    """Self-crossing ring (signed area 0) rebuilds into the valid
+    two-triangle multipolygon via noding+polygonize (reference GEOS
+    MakeValid linework strategy)."""
+    from spark_geo.kernel import unary as KU
+    bow = Geom(3, rings=[np.array([[0, 0], [2, 2], [2, 0], [0, 2], [0, 0]], float)])
+    assert not KU.is_valid(bow)
+    v = KC.make_valid(bow)
+    assert v.type_id == 6 and len(v.parts) == 2
+    np.testing.assert_allclose(KM.area(v), 2.0)
+    assert all(KU.is_valid(p) for p in v.parts)
