@@ -23,4 +23,29 @@ API, the pygeos reference's *documented behavior* (cited file:line in
 docstrings), and standard computational-geometry algorithms.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+
+def _tune_malloc() -> None:
+    """Keep large buffers in the heap arena instead of per-allocation
+    mmap.
+
+    glibc hands every allocation over ~128 KB its own mmap and returns
+    it to the OS on free, so each NumPy temporary in the vectorized
+    kernels re-page-faults its pages.  Page faults are syscalls — they
+    serialize in the kernel across worker processes and (on
+    syscall-interposing sandboxes) cost ~100x a cached access.
+    Measured here: ``np.repeat`` over 1.2M int64 drops from 73 ms to
+    0.98 ms with the thresholds raised.  Runs at import time so it
+    covers the driver AND every Spark Python worker (they all import
+    spark_geo)."""
+    try:
+        import ctypes
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        libc.mallopt(-3, 1 << 30)  # M_MMAP_THRESHOLD
+        libc.mallopt(-1, 1 << 30)  # M_TRIM_THRESHOLD
+    except Exception:
+        pass  # non-glibc platform: default allocator behavior
+
+
+_tune_malloc()

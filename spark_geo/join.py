@@ -156,12 +156,15 @@ def _tree_cell_index(tree: STRtree, pad: float):
     b = tree._boxes
     if not len(b):
         return None
-    # pick a resolution where each item covers few cells: cell width
-    # close to the median padded envelope width
+    # pick the FINEST resolution whose per-item cell fan-out stays
+    # within budget: finer cells mean fewer items per cell, so each
+    # probe point gathers fewer false candidates — candidate volume
+    # (the gather's memory traffic, the scaling bottleneck) drops
+    # roughly linearly with cell area until the fan-out cap bites
     w = np.median(b[:, 2] - b[:, 0]) + 2 * pad
     h = np.median(b[:, 3] - b[:, 1]) + 2 * pad
     span = max(min(360.0, max(w * 2, 1e-9)), min(180.0, max(h, 1e-9)) * 2)
-    res = int(np.clip(np.floor(np.log2(360.0 / span)), 0, 14))
+    res = int(np.clip(np.floor(np.log2(360.0 / span)) + 3, 0, 14))
     from .kernel.cell import MAX_RES  # noqa: F401  (res bounded above)
     while True:
         n_side = 1 << res
@@ -209,10 +212,12 @@ def _point_candidates(tree: STRtree, xs, ys, pad: float):
     total = int(counts.sum())
     if total == 0:
         return np.empty(0, np.int64), np.empty(0, np.int64)
-    cl = np.repeat(np.arange(len(xs), dtype=np.int64), counts)
-    starts = np.repeat(lo, counts)
-    csum = np.cumsum(counts) - counts
-    intra = np.arange(total, dtype=np.int64) - np.repeat(csum, counts)
+    # int32 gather indices: half the memory traffic of int64 (the
+    # gather dominates the probe's DRAM footprint at high parallelism)
+    cl = np.repeat(np.arange(len(xs), dtype=np.int32), counts)
+    starts = np.repeat(lo.astype(np.int32), counts)
+    csum = (np.cumsum(counts) - counts).astype(np.int32)
+    intra = np.arange(total, dtype=np.int32) - np.repeat(csum, counts)
     cr = pos_sorted[starts + intra]
     # exact envelope filter (cells over-approximate)
     b = tree._boxes

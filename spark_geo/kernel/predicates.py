@@ -36,17 +36,30 @@ _PUNTAL = (POINT, MULTIPOINT)
 # ---------------------------------------------------------------------------
 
 def _ring_even_odd(px, py, ring):
-    """Even-odd crossing test for P points against one ring -> bool (P,)."""
+    """Even-odd crossing test for P points against one ring -> bool (P,).
+
+    Evaluated in cache-sized point chunks (see
+    measure.points_to_segments_dist) — the O(P·E) temporaries stay
+    L2-resident so parallel workers scale instead of contending for
+    DRAM bandwidth."""
     if len(ring) < 4:
         return np.zeros(len(px), dtype=bool)
     x1, y1 = ring[:-1, 0][None, :], ring[:-1, 1][None, :]
     x2, y2 = ring[1:, 0][None, :], ring[1:, 1][None, :]
-    pxc, pyc = np.asarray(px)[:, None], np.asarray(py)[:, None]
-    cond = (y1 > pyc) != (y2 > pyc)
+    pxa = np.asarray(px, dtype=np.float64)
+    pya = np.asarray(py, dtype=np.float64)
+    e = x1.shape[1]
+    out = np.empty(len(pxa), dtype=bool)
+    step = max(1, 65536 // max(e, 1))
     with np.errstate(divide="ignore", invalid="ignore"):
-        xint = x1 + (pyc - y1) * (x2 - x1) / (y2 - y1)
-        crossing = cond & (pxc < xint)
-    return (crossing.sum(axis=1) % 2).astype(bool)
+        for s in range(0, len(pxa), step):
+            pxc = pxa[s:s + step][:, None]
+            pyc = pya[s:s + step][:, None]
+            cond = (y1 > pyc) != (y2 > pyc)
+            xint = x1 + (pyc - y1) * (x2 - x1) / (y2 - y1)
+            crossing = cond & (pxc < xint)
+            out[s:s + step] = (crossing.sum(axis=1) % 2).astype(bool)
+    return out
 
 
 def _ring_segs(ring):

@@ -68,8 +68,76 @@ def stream_region_counts(pages_stream: DataFrame, layer: DataFrame,
                     "polygon_id", "n_pages"))
 
 
+def stream_sessionize(events: DataFrame, *, user_col: str = "user_id",
+                      ts_col: str = "ts", gap_seconds: int = 1800,
+                      watermark: str = "1 hour") -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user session tracking with an event-time gap.  Emits one row
+    per user per micro-batch with the CURRENT session's start, event
+    count, and whether the previous session closed this batch —
+    arbitrary per-key state the built-in window/session_window
+    aggregates cannot express (e.g. carrying the previous session's
+    stats forward).
+
+    State per user: (session_start, last_ts, n_events).  A new event
+    more than ``gap_seconds`` after last_ts closes the session and
+    starts a new one.  State survives micro-batches; an event-time
+    timeout (watermark + gap) evicts idle users."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.DoubleType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sessions_closed", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("session_start", T.DoubleType()),
+        T.StructField("last_ts", T.DoubleType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sessions_closed", T.LongType()),
+    ])
+
+    def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        ss, lt, n, closed = state.get if state.exists else (None, None, 0, 0)
+        rows = []
+        for pdf in pdfs:
+            ts = pdf[ts_col]
+            rows.extend(float(v) for v in
+                        (ts.astype("int64") / 1e9 if ts.dtype.kind == "M"
+                         else ts.astype("float64")))
+        for t in sorted(rows):
+            if ss is None:
+                ss, lt, n = t, t, 1
+            elif t - lt > gap_seconds:
+                closed += 1
+                ss, lt, n = t, t, 1
+            else:
+                lt, n = t, n + 1
+        state.update((ss, lt, n, closed))
+        state.setTimeoutTimestamp(int((lt + gap_seconds) * 1000))
+        yield pd.DataFrame({"user_id": [key[0]], "session_start": [ss],
+                            "n_events": [n], "sessions_closed": [closed]})
+
+    return (events.withWatermark(ts_col, watermark)
+            .groupBy(user_col)
+            .applyInPandasWithState(fn, out_schema, state_schema, "update",
+                                    GroupStateTimeout.EventTimeTimeout))
+
+
 def run_to_memory(stream_df: DataFrame, name: str):
     """Test/debug helper: complete-mode memory sink; returns the query
     (caller calls processAllAvailable + stop)."""
     return (stream_df.writeStream.format("memory")
             .queryName(name).outputMode("complete").start())
+
+
+def run_to_update_memory(stream_df: DataFrame, name: str):
+    """Update-mode memory sink (for stateful operators like
+    stream_sessionize whose output mode must be 'update')."""
+    return (stream_df.writeStream.format("memory")
+            .queryName(name).outputMode("update").start())

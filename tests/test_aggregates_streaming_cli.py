@@ -86,3 +86,43 @@ def test_cli_parser():
     with pytest.raises(SystemExit):
         p.parse_args(["--synth-pages", "100"])  # missing --out
     assert main(["--out", "/tmp/x"]) == 2  # neither --pages nor --synth-pages
+
+
+def test_stream_sessionize_stateful(spark, tmp_path):
+    """applyInPandasWithState session tracking: state carries across
+    micro-batches (batch 2 events extend batch 1 sessions; a gap
+    closes one)."""
+    import pandas as pd
+    from pyspark.sql import functions as F, types as T
+
+    src = str(tmp_path / "sess_src")
+    schema = T.StructType([T.StructField("user_id", T.LongType()),
+                           T.StructField("ts", T.TimestampType())])
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    b1 = spark.createDataFrame(pd.DataFrame({
+        "user_id": [1, 1, 2],
+        "ts": [base, base + pd.Timedelta(minutes=5), base]}), schema)
+    b2 = spark.createDataFrame(pd.DataFrame({
+        "user_id": [1, 2],
+        # user 1: +10 min (same session); user 2: +2 h (gap -> closes)
+        "ts": [base + pd.Timedelta(minutes=15), base + pd.Timedelta(hours=2)]}),
+        schema)
+    b1.write.mode("overwrite").parquet(src)  # first file = first batch
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    sess = ST.stream_sessionize(stream, gap_seconds=1800, watermark="10 hours")
+    q = ST.run_to_update_memory(sess, "sess_test")
+    try:
+        q.processAllAvailable()
+        b2.write.mode("append").parquet(src)  # second micro-batch
+        q.processAllAvailable()
+        rows = spark.sql(
+            "select * from sess_test").toPandas()
+        # last emitted row per user wins (update mode appends per batch)
+        last = rows.groupby("user_id").last()
+        assert last.loc[1, "n_events"] == 3          # state carried over
+        assert last.loc[1, "sessions_closed"] == 0
+        assert last.loc[2, "n_events"] == 1          # new session after gap
+        assert last.loc[2, "sessions_closed"] == 1   # previous one closed
+    finally:
+        q.stop()
