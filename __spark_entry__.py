@@ -729,6 +729,27 @@ def q_buffer_styles(spark, sf_dir):
     ).orderBy("s_suppkey")
 
 
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (training-data dedup
+    class): exact threshold pairs, JVM-side dot products — the exact
+    baseline the LSH/IVF candidate paths are recall-tested against in
+    tests/."""
+    e = _load(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.zip_with(c, c, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v))
+    sim = dot / (norm("ea") * norm("eb"))
+    return (a.crossJoin(b).where(F.col("va") < F.col("vb"))
+            .withColumn("sim_r", F.round(sim, 5))
+            .where(F.col("sim_r") >= 0.6)
+            .select("va", "vb", "sim_r").orderBy("va", "vb"))
+
+
 def q_srid_roundtrip(spark, sf_dir):
     """set_srid / get_srid EWKB round-trip; geometry values unchanged
     (reference geometry.py:177-235)."""
@@ -785,6 +806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setops_all": q_setops_all,
         "offset_curve_measure": q_offset_curve_measure,
         "buffer_styles": q_buffer_styles,
+        "embedding_near_dup": q_embedding_near_dup,
         "srid_roundtrip": q_srid_roundtrip,
     }
 
@@ -1090,6 +1112,19 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(70.0 * 34.0 + 2 * 2.0 * (70.0 + 34.0)
                        + 0.5 * 32 * 4.0 * SIN(2 * PI() / 32), 6) AS box_round_r
             FROM supplier ORDER BY 1
+        """,
+        "embedding_near_dup": """
+            SELECT a.vec_id AS va, b.vec_id AS vb,
+                   ROUND(list_dot_product(a.embedding, b.embedding)
+                     / (SQRT(list_dot_product(a.embedding, a.embedding))
+                      * SQRT(list_dot_product(b.embedding, b.embedding))), 5)
+                     AS sim_r
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND ROUND(list_dot_product(a.embedding, b.embedding)
+                    / (SQRT(list_dot_product(a.embedding, a.embedding))
+                     * SQRT(list_dot_product(b.embedding, b.embedding))), 5) >= 0.6
+            ORDER BY 1, 2
         """,
         "srid_roundtrip": """
             SELECT n_nationkey::BIGINT AS polygon_id,

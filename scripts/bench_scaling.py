@@ -7,6 +7,11 @@ Protocol notes (measured on this sandbox, see BENCH/BASELINE.md):
   oversubscribe the 32-core box — each Spark task thread pairs with a
   Python worker process, so local[32] schedules 64 runnable entities
   on 32 cores, which a real 4N-executor cluster never does.
+- Input is 24M pages (4x the sf0.1-derived 6M): at 6M the
+  non-scaling fixed costs (the sandbox's serialized Arrow pipe,
+  per-job scheduling) are ~35% of the 16-core runtime and mask the
+  engine's scaling; at 24M they amortize — and 24M is the closer
+  proxy for the 10^12-row regime the rule targets.
 - The job input is the geocoded pages table materialized as parquet
   (the production shape: extraction ETL runs once, the spatial engine
   is the recurring job).  Page synthesis/sprintf is excluded — it is
@@ -31,7 +36,7 @@ import tempfile
 from datetime import datetime, timezone
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-N_PAGES = 6_000_000
+N_PAGES = 24_000_000
 LEVELS = (4, 16)
 RUNS = 3
 
@@ -106,7 +111,7 @@ def run_level(cpus: int, n_pages: int, pq: str) -> dict:
 
 def main():
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else N_PAGES
-    passes = int(os.environ.get("SPARK_GRAFT_SCALING_PASSES", "2"))
+    passes = int(os.environ.get("SPARK_GRAFT_SCALING_PASSES", "1"))
     pq = os.path.join(tempfile.gettempdir(), f"spark_geo_scaling_{n_pages}.parquet")
     # This sandbox exhibits intermittent multi-10-second external
     # stalls (D-state load spikes with idle CPU; observed run spreads
