@@ -746,7 +746,7 @@ def q_embedding_near_dup(spark, sf_dir):
     sim = dot / (norm("ea") * norm("eb"))
     return (a.crossJoin(b).where(F.col("va") < F.col("vb"))
             .withColumn("sim_r", F.round(sim, 5))
-            .where(F.col("sim_r") >= 0.6)
+            .where(F.col("sim_r") >= 0.3)
             .select("va", "vb", "sim_r").orderBy("va", "vb"))
 
 
@@ -1114,16 +1114,16 @@ def oracle_sql() -> dict[str, str]:
             FROM supplier ORDER BY 1
         """,
         "embedding_near_dup": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
             SELECT a.vec_id AS va, b.vec_id AS vb,
-                   ROUND(list_dot_product(a.embedding, b.embedding)
-                     / (SQRT(list_dot_product(a.embedding, a.embedding))
-                      * SQRT(list_dot_product(b.embedding, b.embedding))), 5)
-                     AS sim_r
-            FROM embeddings a, embeddings b
+                   ROUND(list_dot_product(a.emb, b.emb)
+                     / (SQRT(list_dot_product(a.emb, a.emb))
+                      * SQRT(list_dot_product(b.emb, b.emb))), 5) AS sim_r
+            FROM e a, e b
             WHERE a.vec_id < b.vec_id
-              AND ROUND(list_dot_product(a.embedding, b.embedding)
-                    / (SQRT(list_dot_product(a.embedding, a.embedding))
-                     * SQRT(list_dot_product(b.embedding, b.embedding))), 5) >= 0.6
+              AND ROUND(list_dot_product(a.emb, b.emb)
+                    / (SQRT(list_dot_product(a.emb, a.emb))
+                     * SQRT(list_dot_product(b.emb, b.emb))), 5) >= 0.3
             ORDER BY 1, 2
         """,
         "srid_roundtrip": """
