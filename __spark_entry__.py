@@ -308,14 +308,17 @@ def q_ann_cosine_topk(spark, sf_dir):
 
 
 def q_text_quality(spark, sf_dir):
-    """Text quality scoring: token counts + mean token length +
-    uppercase-free ratio per language."""
+    """Text quality scoring: whitespace + BPE-ish-regex token counts,
+    mean chars per language (training-data curation features)."""
+    from spark_geo import text as TX
     d = _load(spark, sf_dir, "documents")
     ntok = F.size(F.split(F.trim("text"), "\\s+"))
     return (d.withColumn("ntok", ntok)
+            .withColumn("nbpe", TX.bpe_token_count(F.col("text")))
             .groupBy("lang")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("ntok").alias("total_tokens"),
+                 F.sum("nbpe").alias("total_bpe_tokens"),
                  F.round(F.avg(F.length("text")), 6).alias("avg_chars_r"))
             .orderBy("lang"))
 
@@ -750,6 +753,17 @@ def q_embedding_near_dup(spark, sf_dir):
             .select("va", "vb", "sim_r").orderBy("va", "vb"))
 
 
+def q_winnow_dups(spark, sf_dir):
+    """Winnowing (rolling-hash) fingerprint candidate pairs over the
+    documents table (rows-only: the k-gram rolling hash is not
+    ANSI-SQL-expressible; the substring-sharing guarantee is tested in
+    tests/)."""
+    from spark_geo import text as TX
+    d = _load(spark, sf_dir, "documents")
+    return (TX.winnow_candidate_pairs(d, k=8, window=4, min_shared=3)
+            .orderBy("da", "db"))
+
+
 def q_srid_roundtrip(spark, sf_dir):
     """set_srid / get_srid EWKB round-trip; geometry values unchanged
     (reference geometry.py:177-235)."""
@@ -807,6 +821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "offset_curve_measure": q_offset_curve_measure,
         "buffer_styles": q_buffer_styles,
         "embedding_near_dup": q_embedding_near_dup,
+        "winnow_dups": q_winnow_dups,
         "srid_roundtrip": q_srid_roundtrip,
     }
 
@@ -939,6 +954,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, COUNT(*) AS n_docs,
                    CAST(SUM(len(string_split_regex(TRIM(text), '\\s+'))) AS BIGINT)
                      AS total_tokens,
+                   CAST(SUM(len(regexp_extract_all(text,
+                     '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]+'))) AS BIGINT)
+                     AS total_bpe_tokens,
                    ROUND(AVG(LENGTH(text)), 6) AS avg_chars_r
             FROM documents GROUP BY lang ORDER BY lang
         """,
@@ -1133,7 +1151,8 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(2380.0, 6) AS area_r
             FROM nation ORDER BY 1
         """,
-        # minhash_candidates, simhash_dups, lang_id: intentionally
+        # minhash_candidates, simhash_dups, lang_id, winnow_dups:
+        # intentionally
         # omitted (LSH banding / 64-bit fingerprints / argmax marker
         # scoring are not ANSI-SQL-expressible; driver records
         # rows-only, exactness tested in tests/)

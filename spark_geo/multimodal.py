@@ -137,6 +137,49 @@ def sample_frames(df: DataFrame, *, id_col: str = "media_id",
     return work.mapInPandas(run, schema=FRAME_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("resized", T.BinaryType()),
+])
+
+
+def resize_images(df: DataFrame, *, id_col: str = "media_id",
+                  payload_col: str = "payload", width: int = 64,
+                  height: int = 64, decoder: str = "fake") -> DataFrame:
+    """Image -> fixed-size thumbnail rows.  The Spark plumbing (Arrow
+    batches, byte-budget partitioning upstream, binary out) is real;
+    the pixel work is a deterministic fake (payload resampled to
+    width*height bytes by strided selection) — real decoding (PIL/
+    opencv, absent in this container) raises at the marked point."""
+    work = df.select(id_col, payload_col)
+
+    def run(batches):
+        for pdf in batches:
+            ids, outs = [], []
+            for mid, payload in zip(pdf.iloc[:, 0], pdf.iloc[:, 1]):
+                if payload is None:
+                    continue
+                raw = bytes(payload)
+                if decoder == "real":
+                    raise NotImplementedError(
+                        "image decode/resample requires PIL/opencv — "
+                        "not present; plug in here")
+                n_out = width * height
+                arr = np.frombuffer(raw or b"\x00", dtype=np.uint8)
+                idx = (np.arange(n_out) * max(1, len(arr)) // n_out) % len(arr)
+                ids.append(int(mid))
+                outs.append(arr[idx].tobytes())
+            yield pd.DataFrame({
+                "media_id": pd.Series(ids, dtype="int64"),
+                "width": pd.Series([width] * len(ids), dtype="int32"),
+                "height": pd.Series([height] * len(ids), dtype="int32"),
+                "resized": pd.Series(outs, dtype=object)})
+
+    return work.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
 def synth_media(spark, n: int, media_type: str = "image",
                 payload_bytes: int = 2048) -> DataFrame:
     """Deterministic synthetic media table (binary payload + metadata

@@ -20,6 +20,7 @@ Operators:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
 
 TOKEN_PATTERN = "\\s+"
 
@@ -49,12 +50,28 @@ def dedup_keep_first(df: DataFrame, id_col: str = "doc_id",
     return df.join(keepers, id_col, "left_semi")
 
 
+def _shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """Distinct word n-gram shingles per doc (Broder w-shingling) —
+    pure Catalyst: transform over a per-row index sequence, slice +
+    concat_ws.  Per-row array state only (one document), never
+    per-group."""
+    toks = F.split(F.trim(F.col(text_col)), TOKEN_PATTERN)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return (df.select(id_col, F.explode(sh).alias("tok"))
+            .where(F.col("tok") != "").distinct())
+
+
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
-                       text_col: str = "text", n_hashes: int = 32) -> DataFrame:
+                       text_col: str = "text", n_hashes: int = 32,
+                       shingle_size: int | None = None) -> DataFrame:
     """MinHash signature columns h0..h{n-1} via seeded xxhash64 over the
     distinct token set (shingle -> minhash step of the LSH dedup).
-    One shuffle (groupBy id) with partial min combine."""
-    toks = _tokens(df, id_col, text_col)
+    ``shingle_size=n`` switches the element set from single tokens to
+    word n-gram shingles.  One shuffle (groupBy id) with partial min
+    combine."""
+    toks = _shingles(df, id_col, text_col, shingle_size) \
+        if shingle_size else _tokens(df, id_col, text_col)
     aggs = [F.min(F.xxhash64(F.col("tok"), F.lit(i))).alias(f"h{i}")
             for i in range(n_hashes)]
     return toks.groupBy(id_col).agg(*aggs)
@@ -62,13 +79,14 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
 
 def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n_hashes: int = 32,
-                        bands: int = 4) -> DataFrame:
+                        bands: int = 4,
+                        shingle_size: int | None = None) -> DataFrame:
     """Banded LSH: hash each band of the signature to a bucket,
     self-join on (band, bucket) -> candidate pairs (da < db).
     P(candidate) = 1 - (1 - J^(n/bands))^bands."""
     assert n_hashes % bands == 0
     r = n_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n_hashes)
+    sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_size)
     band_structs = [F.struct(F.lit(b).alias("band"),
                              F.xxhash64(*[F.col(f"h{b * r + k}") for k in range(r)])
                              .alias("bucket"))
@@ -175,6 +193,79 @@ def doc_fingerprint(df: DataFrame, id_col: str = "doc_id",
     the cheap first-pass dedup key."""
     norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), "\\s+", " "))
     return df.select(id_col, F.xxhash64(norm).alias("fingerprint"))
+
+
+def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 5,
+                        window: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): polynomial rolling hash over
+    character k-grams, minimum hash per sliding window, distinct set.
+    Guarantees any shared substring of length >= k + window - 1 yields
+    a shared fingerprint — the local-similarity dual of MinHash's
+    global Jaccard.
+
+    Vectorized NumPy inside an Arrow batch (k slice-adds + one
+    sliding-window min per document); output array<long> per doc."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _fp_impl(texts):
+        import numpy as np
+        B = np.uint64(1000003)
+        out = []
+        for t in texts:
+            if t is None or len(t) < k:
+                out.append([])
+                continue
+            c = np.frombuffer(t.encode("utf-8", "ignore"),
+                              dtype=np.uint8).astype(np.uint64)
+            n = len(c) - k + 1
+            if n <= 0:
+                out.append([])
+                continue
+            h = np.zeros(n, dtype=np.uint64)
+            for j in range(k):  # k vector ops, not per-char Python
+                h = h * B + c[j:j + n]
+            if n >= window:
+                w = np.lib.stride_tricks.sliding_window_view(h, window)
+                mins = w.min(axis=1)
+            else:
+                mins = np.array([h.min()], dtype=np.uint64)
+            out.append(sorted(int(x) for x in
+                              np.unique(mins).view(np.int64)))
+        return pd.Series(out, dtype=object)
+
+    _fp = pandas_udf(_fp_impl, T.ArrayType(T.LongType()))
+    return df.select(id_col, _fp(F.col(text_col)).alias("fingerprints"))
+
+
+def winnow_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", k: int = 5,
+                           window: int = 4,
+                           min_shared: int = 2) -> DataFrame:
+    """Local-similarity candidate pairs: docs sharing >= min_shared
+    winnowed fingerprints.  Equi-join on the fingerprint hash — the
+    same bucketed shape as LSH banding, never all-pairs."""
+    fp = winnow_fingerprints(df, id_col, text_col, k, window)
+    flat = fp.select(id_col, F.explode("fingerprints").alias("fp"))
+    a = flat.select(F.col(id_col).alias("da"), "fp")
+    b = flat.select(F.col(id_col).alias("db"), "fp")
+    return (a.join(b, ["fp"]).where(F.col("da") < F.col("db"))
+            .groupBy("da", "db").agg(F.count(F.lit(1)).alias("n_shared"))
+            .where(F.col("n_shared") >= min_shared))
+
+
+# BPE-ish pre-tokenizer: letter runs | digits | punctuation runs —
+# the GPT-2-style regex simplified to Java/RE2-portable classes
+BPE_TOKEN_PATTERN = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]+"
+
+
+def bpe_token_count(col):
+    """Subword-style token count (whitespace split overcounts prose
+    with punctuation; BPE pre-tokenization is the training-data
+    convention).  Pure Catalyst regexp."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_PATTERN), F.lit(0)))
 
 
 # language profiles: high-frequency marker words (public common-word

@@ -166,3 +166,50 @@ def test_ivf_topk_recall(spark):
     # probe cells are the n_probe nearest centroids, deterministic
     pc = VX.ivf_probe_cells(probes, cents, n_probe=2).first()
     assert len(pc["ivf_cells"]) == 2
+
+
+def test_shingle_minhash(spark, docs):
+    """Word n-gram shingles change the LSH element set; identical docs
+    still collide, shingle Jaccard is stricter than token Jaccard."""
+    sig1 = TX.minhash_signatures(docs, n_hashes=8)
+    sig2 = TX.minhash_signatures(docs, n_hashes=8, shingle_size=2)
+    assert sig1.columns == sig2.columns
+    assert sig2.count() == sig1.count()
+    cand = TX.lsh_candidate_pairs(docs, n_hashes=8, bands=4, shingle_size=2)
+    assert cand.columns == ["da", "db"]
+    cand.collect()  # executes
+
+
+def test_winnow_fingerprints_guarantee(spark):
+    """Winnowing guarantee: a shared substring of length >= k+window-1
+    produces a shared fingerprint; disjoint texts share none."""
+    k, w = 5, 4
+    shared = "the quick brown fox jumps over the lazy dog"
+    rows = [(0, "AAA " + shared + " BBB"),
+            (1, "CCC " + shared + " DDD"),
+            (2, "completely different words entirely unrelated")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = {r["doc_id"]: set(r["fingerprints"])
+          for r in TX.winnow_fingerprints(df, k=k, window=w).collect()}
+    assert fp[0] & fp[1], "shared substring must share a fingerprint"
+    assert not (fp[0] & fp[2] and fp[1] & fp[2] and len(fp[2] & fp[0]) > 2)
+    pairs = {(r["da"], r["db"]): r["n_shared"]
+             for r in TX.winnow_candidate_pairs(df, k=k, window=w).collect()}
+    assert (0, 1) in pairs
+
+
+def test_bpe_token_count(spark):
+    df = spark.createDataFrame([(0, "Hello, world! It's 42.")],
+                               "doc_id long, text string")
+    n = df.select(TX.bpe_token_count(F.col("text")).alias("n")).first()["n"]
+    # Hello , world ! It ' s 4 2 .  -> 10
+    assert n == 10
+
+
+def test_resize_images(spark):
+    media = MM.synth_media(spark, 8)
+    out = MM.resize_images(media, width=16, height=4).collect()
+    assert len(out) == 8
+    for r in out:
+        assert len(r["resized"]) == 16 * 4
+        assert r["width"] == 16 and r["height"] == 4
