@@ -36,7 +36,8 @@ def test_every_query_has_oracle_or_reason(spark):
     assert set(oracles) <= set(qs)
     missing = set(qs) - set(oracles)
     # documented rows-only ops (non-SQL-expressible)
-    assert missing == {"minhash_candidates", "simhash_dups", "lang_id"}
+    assert missing == {"minhash_candidates", "simhash_dups", "lang_id",
+                       "winnow_dups"}
 
 
 @pytest.mark.parametrize("name", sorted(E.oracle_sql().keys()))
