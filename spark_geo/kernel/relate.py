@@ -151,33 +151,59 @@ def _inter_dim(a: Geom | None, a_open: bool, b: Geom | None, b_open: bool) -> in
     if ka == "area" or kb == "area":
         area, area_open = (a, a_open) if ka == "area" else (b, b_open)
         line, line_open = (b, b_open) if ka == "area" else (a, a_open)
-        if area_open:
-            # a line meets an open region in 1-dim pieces
-            pts = P._sample_points(line)
-            if len(pts):
-                inside, _ = P.points_in_polygon(pts[:, 0], pts[:, 1], area)
-                if line_open:
-                    inside &= P._points_in_interior(pts, line)
-                if bool(inside.any()):
-                    return 1
-            return F_DIM
-        # closed area ✕ line: covered portion -> 1; boundary touch -> 0
-        pts = P._sample_points(line)
-        if len(pts):
-            inside, bnd = P.points_in_polygon(pts[:, 0], pts[:, 1], area)
-            if line_open:
-                interior_line = P._points_in_interior(pts, line)
-                inside &= interior_line
-                bnd &= interior_line
-            mids = np.zeros(len(pts), dtype=bool)
-            mids[len(M.vertices(line)):] = True
-            if bool(((inside | bnd) & mids).any()):
-                return 1
-            if bool((inside | bnd).any()):
-                return 0
-        return F_DIM
+        return _line_area_dim(line, line_open, area, area_open)
     # line ✕ line
     return _line_line_dim(a, b, a_open, b_open)
+
+
+def _line_area_dim(line: Geom, line_open: bool, area: Geom,
+                   area_open: bool) -> int:
+    """EXACT dim of (line ∩ area-or-its-interior): every line segment
+    is split at all of its intersections with the area's boundary
+    (predicates._segment_split_params — proper crossings, touches,
+    collinear overlaps) and each piece's midpoint classifies the whole
+    piece.  Exit/re-enter across concave pockets cannot slip between
+    samples."""
+    asegs = M.segments(area)
+    lsegs = M.segments(line)
+    if not len(asegs) or not len(lsegs):
+        return F_DIM
+    has_in = has_bnd_piece = False
+    touch_pts = []
+    for seg in lsegs:
+        cuts = P._segment_split_params(seg, asegs)
+        knots = np.unique(np.concatenate([[0.0, 1.0], cuts])) \
+            if len(cuts) else np.array([0.0, 1.0])
+        t = (knots[:-1] + knots[1:]) / 2.0
+        mx = seg[0] + t * (seg[2] - seg[0])
+        my = seg[1] + t * (seg[3] - seg[1])
+        inside, bnd = P.points_in_polygon(mx, my, area)
+        if bool(inside.any()):
+            has_in = True
+        if bool(bnd.any()):
+            has_bnd_piece = True  # positive-length run ON the boundary
+        for tt in np.concatenate([knots[:1], cuts, knots[-1:]]) \
+                if len(cuts) else knots[[0, -1]]:
+            touch_pts.append((seg[0] + tt * (seg[2] - seg[0]),
+                              seg[1] + tt * (seg[3] - seg[1])))
+        if has_in and (area_open or has_bnd_piece):
+            break  # dim already maximal for this configuration
+    if area_open:
+        # interior of the area: only strictly-inside pieces count;
+        # a positive-length piece stays 1-dim under line openness
+        return 1 if has_in else F_DIM
+    if has_in or has_bnd_piece:
+        return 1
+    # 0-dim: split/end points lying on the boundary (respect openness
+    # of the line: its own endpoints don't belong to its interior)
+    if touch_pts:
+        pts = np.asarray(touch_pts, dtype=np.float64)
+        _, on_b = P.points_in_polygon(pts[:, 0], pts[:, 1], area)
+        if line_open:
+            on_b &= P._points_in_interior(pts, line)
+        if bool(on_b.any()):
+            return 0
+    return F_DIM
 
 
 def relate(a: Geom | None, b: Geom | None) -> str | None:

@@ -120,3 +120,22 @@ def test_geojson_invalid():
         GJ.from_geojson('{"type": "Blob"}')
     assert GJ.from_geojson(None) is None
     assert GJ.to_geojson(None) is None
+
+
+def test_relate_concave_line_exact():
+    """Line×polygon relate is exact for concave shapes: every line
+    segment splits at all boundary intersections (hand-derived DE-9IM
+    strings; the crossing line exits the U's notch between vertex
+    samples)."""
+    import numpy as np
+    from spark_geo.kernel.geom import Geom
+    from spark_geo.kernel import relate as R
+    U = Geom(3, rings=[np.array(
+        [[0, 0], [10, 0], [10, 10], [7, 10], [7, 3],
+         [3, 3], [3, 10], [0, 10], [0, 0]], float)])
+    crossing = Geom.linestring(np.array([[1., 8.], [9., 8.]]))
+    assert R.relate(U, crossing) == "1020F11F2"   # EI=1: notch piece outside
+    inside = Geom.linestring(np.array([[1., 1.], [9., 1.]]))
+    assert R.relate(U, inside) == "102FF1FF2"
+    on_boundary = Geom.linestring(np.array([[3.5, 3.], [6.5, 3.]]))
+    assert R.relate(U, on_boundary) == "FF2101FF2"
