@@ -67,8 +67,10 @@ def coverage_union_all(df: DataFrame, group_col: str, geom_col: str = "geom") ->
 
 def intersection_all(df: DataFrame, group_col: str, geom_col: str = "geom") -> DataFrame:
     """Per-group pairwise-fold intersection (reference
-    set_operations.py:133-167 ufunc.reduce semantics); v1 kernel scope
-    = convex operands (kernel.construct.intersection)."""
+    set_operations.py:133-167 ufunc.reduce semantics); polygon operands
+    fold through the convex fast path or the general Greiner-Hormann
+    overlay (kernel.construct.intersection); unresolvable degeneracies
+    degrade the group to NULL."""
     def merge(key, pdf):
         geoms = [SG._loads_safe(v) for v in pdf[geom_col]]
         geoms = [g for g in geoms if g is not None]

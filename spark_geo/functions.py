@@ -116,6 +116,8 @@ def register_sql_functions(spark) -> list[str]:
         "st_shared_paths": st_shared_paths, "st_shortest_line": st_shortest_line,
         "st_srid": st_srid, "st_cell_boundary": st_cell_boundary,
         "st_force_2d": st_force_2d,
+        "st_precision_grid": st_precision_grid,
+        "st_polygonize_full": st_polygonize_full,
     }
     for name, fn in fns.items():
         spark.udf.register(name, fn)
