@@ -650,6 +650,22 @@ def q_cell_join_pip(spark, sf_dir):
             .orderBy("c_custkey", "polygon_id"))
 
 
+def q_cell_join_dwithin(spark, sf_dir):
+    """Large✕large dwithin via the cell equi-join (k-ring-expanded
+    left cells + grouped distance refine) — must match the brute-force
+    distance oracle."""
+    ship_package(spark)
+    pts = _cust_points(spark, sf_dir).select(
+        F.col("c_custkey").alias("left_id"), F.col("point").alias("geom"))
+    supp = _supp_points(spark, sf_dir).select(
+        F.col("s_suppkey").alias("right_id"), F.col("point").alias("geom"))
+    j = SJ.cell_spatial_join(pts, supp, predicate="dwithin",
+                             distance=DWITHIN_D, res=4)
+    return (j.select(F.col("left_id").alias("c_custkey"),
+                     F.col("right_id").alias("s_suppkey"))
+            .orderBy("c_custkey", "s_suppkey"))
+
+
 def q_coverage_union_area(spark, sf_dir):
     """Binary coverage_union of two disjoint boxes: area is additive
     (reference set_operations.py:401-432)."""
@@ -816,6 +832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangulate_partition": q_triangulate_partition,
         "line_locate_shortest": q_line_locate_shortest,
         "cell_join_pip": q_cell_join_pip,
+        "cell_join_dwithin": q_cell_join_dwithin,
         "coverage_union_area": q_coverage_union_area,
         "setops_all": q_setops_all,
         "offset_curve_measure": q_offset_curve_measure,
@@ -1098,6 +1115,13 @@ def oracle_sql() -> dict[str, str]:
             FROM customer c JOIN nation n
               ON {CUST_LON} >= {BOX_X0} AND {CUST_LON} <= {BOX_X0} + 70.0
              AND {CUST_LAT} >= {BOX_Y0} AND {CUST_LAT} <= {BOX_Y0} + 34.0
+            ORDER BY 1, 2
+        """,
+        "cell_join_dwithin": f"""
+            SELECT c.c_custkey, s.s_suppkey
+            FROM customer c, supplier s
+            WHERE SQRT(POWER({CUST_LON} - {SUPP_LON}, 2)
+                     + POWER({CUST_LAT} - {SUPP_LAT}, 2)) <= {DWITHIN_D}
             ORDER BY 1, 2
         """,
         "coverage_union_area": """

@@ -39,11 +39,10 @@ def _agg_schema(df: DataFrame, group_col: str) -> T.StructType:
 
 def union_all(df: DataFrame, group_col: str, geom_col: str = "geom") -> DataFrame:
     """Per-group geometric union (reference set_operations.py:314-399):
-    None rows skipped; all-None group -> NULL geometry.
-
-    v1 semantics = collect into the tightest multi-geometry (exact for
-    non-overlapping inputs — the engine's tiling use case; overlapping
-    dissolve deferred, SURVEY.md §7.2)."""
+    None rows skipped; all-None group -> NULL geometry.  Overlapping
+    polygons dissolve through pairwise Greiner-Hormann union folds;
+    non-overlapping inputs and mixed types collect into the tightest
+    multi-geometry (kernel.construct.union_all)."""
     def merge(key, pdf):
         geoms = [SG._loads_safe(v) for v in pdf[geom_col]]
         u = K_con.union_all(geoms)
