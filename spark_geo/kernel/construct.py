@@ -929,14 +929,17 @@ def make_valid(g: Geom | None) -> Geom | None:
 
 
 def snap(g: Geom | None, reference: Geom | None, tolerance: float) -> Geom | None:
-    """Snap vertices of g to the nearest vertex of reference within
-    tolerance (reference constructive.py:748-779 vertex-snap subset;
-    segment-snapping deferred)."""
+    """Snap vertices of g to the reference within tolerance
+    (reference constructive.py:748-779, full GEOSSnap semantics):
+    a vertex within tolerance of a reference VERTEX snaps to it;
+    otherwise a vertex within tolerance of a reference SEGMENT
+    projects onto it (vertex snapping wins, like GEOS)."""
     if g is None:
         return None
     if reference is None or reference.is_empty or tolerance <= 0:
         return g
     ref = M.vertices(reference)
+    ref_segs = M.segments(reference)
 
     def snap_coords(c):
         if not len(c) or not len(ref):
@@ -946,6 +949,25 @@ def snap(g: Geom | None, reference: Geom | None, tolerance: float) -> Geom | Non
         hit = d[np.arange(len(c)), j] <= tolerance
         out = c.copy()
         out[hit] = ref[j[hit]]
+        if len(ref_segs):
+            rest = ~hit
+            if rest.any():
+                px, py = c[rest, 0], c[rest, 1]
+                x1, y1 = ref_segs[:, 0][None, :], ref_segs[:, 1][None, :]
+                x2, y2 = ref_segs[:, 2][None, :], ref_segs[:, 3][None, :]
+                dx, dy = x2 - x1, y2 - y1
+                L2 = dx * dx + dy * dy
+                t = ((px[:, None] - x1) * dx + (py[:, None] - y1) * dy) \
+                    / np.where(L2 == 0, 1, L2)
+                t = np.clip(t, 0.0, 1.0)
+                cx, cy = x1 + t * dx, y1 + t * dy
+                dist = np.hypot(px[:, None] - cx, py[:, None] - cy)
+                k = dist.argmin(axis=1)
+                rows = np.arange(len(px))
+                ok = dist[rows, k] <= tolerance
+                tgt = np.column_stack([cx[rows, k], cy[rows, k]])
+                idxs = np.nonzero(rest)[0]
+                out[idxs[ok]] = tgt[ok]
         return out
 
     if g.type_id == POLYGON:

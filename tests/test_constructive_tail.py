@@ -255,3 +255,16 @@ def test_make_valid_bowtie_rebuild():
     assert v.type_id == 6 and len(v.parts) == 2
     np.testing.assert_allclose(KM.area(v), 2.0)
     assert all(KU.is_valid(p) for p in v.parts)
+
+
+def test_snap_to_segment():
+    """Full GEOSSnap semantics: a vertex beyond any reference vertex's
+    tolerance but within a reference SEGMENT's tolerance projects onto
+    the segment; vertex snapping wins when both are in range."""
+    ref = Geom.linestring(np.array([[0., 0.], [10., 0.]]))
+    s = KC.snap(Geom.point(5.0, 0.3), ref, 0.5)
+    np.testing.assert_array_equal(s.coords, [[5.0, 0.0]])
+    v = KC.snap(Geom.point(0.2, 0.2), ref, 0.5)
+    np.testing.assert_array_equal(v.coords, [[0.0, 0.0]])
+    u = KC.snap(Geom.point(5.0, 2.0), ref, 0.5)
+    np.testing.assert_array_equal(u.coords, [[5.0, 2.0]])
