@@ -260,7 +260,7 @@ def broadcast_spatial_join(left: DataFrame, right: DataFrame, *,
         raise ValueError(f"unknown predicate {predicate!r}; one of {sorted(k for k in PREDICATES if k)}")
     rows = right.select(right_id, right_geom).collect()
     ids = np.asarray([r[0] for r in rows], dtype=np.int64)
-    geoms = [None if r[1] is None else K_wkb.loads(bytes(r[1])) for r in rows]
+    geoms = [SG._loads_safe(r[1]) for r in rows]
     tree = STRtree(geoms, leafsize=leafsize)
     bc = left.sparkSession.sparkContext.broadcast((tree, ids))
 
@@ -297,7 +297,7 @@ def broadcast_lonlat_join(left: DataFrame, right: DataFrame, *,
     the plan that matters: one Arrow roundtrip of ~16 bytes/row."""
     rows = right.select(right_id, right_geom).collect()
     ids = np.asarray([r[0] for r in rows], dtype=np.int64)
-    geoms = [None if r[1] is None else K_wkb.loads(bytes(r[1])) for r in rows]
+    geoms = [SG._loads_safe(r[1]) for r in rows]
     tree = STRtree(geoms)
     bc = left.sparkSession.sparkContext.broadcast((tree, ids))
     keep = keep or []
@@ -463,7 +463,10 @@ def _left_cells(geom_col, res, distance, is_points):
             if v is None:
                 out.append(None)
                 continue
-            g = K_wkb.loads(bytes(v))
+            g = SG._loads_safe(v)
+            if g is None:
+                out.append(None)
+                continue
             base = K_cell.cover_to_res(K_cell.cover(g, res), res)
             cells = set()
             for c in base:

@@ -55,7 +55,7 @@ def broadcast_nearest_all(left: DataFrame, right: DataFrame, *,
     """All-ties nearest join; output = left columns + right_id + distance."""
     rows = right.select(right_id, right_geom).collect()
     ids = np.asarray([r[0] for r in rows], dtype=np.int64)
-    geoms = [None if r[1] is None else K_wkb.loads(bytes(r[1])) for r in rows]
+    geoms = [SG._loads_safe(r[1]) for r in rows]
     tree = STRtree(geoms)
     # all-points right side -> fully vectorized distance-matrix path
     pts = None
@@ -91,7 +91,7 @@ def broadcast_nearest_all(left: DataFrame, right: DataFrame, *,
                     out["distance"] = dd
                     yield out
                     continue
-            geoms_b = [None if v is None else K_wkb.loads(bytes(v)) for v in raw]
+            geoms_b = [SG._loads_safe(v) for v in raw]
             pairs, dists = tree_l.nearest_all(geoms_b, max_distance=max_distance,
                                               return_distance=True)
             li, rids = pairs[0], ids_l[pairs[1]]

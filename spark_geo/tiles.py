@@ -79,7 +79,9 @@ def rasterize(layer: DataFrame, res: int, id_col: str = "polygon_id",
             for pid, wv in zip(pdf.iloc[:, id_pos], pdf.iloc[:, geom_pos]):
                 if wv is None:
                     continue
-                g = K_wkb.loads(bytes(wv))
+                g = SG._loads_safe(wv)
+                if g is None:
+                    continue
                 total = K_m.area(g)
                 if g.is_empty or total <= 0:
                     continue
@@ -108,7 +110,8 @@ def dissolve_tiles(df: DataFrame, group_col: str, geom_col: str = "clipped_wkb")
     pattern the reference applies via one GEOSUnaryUnion
     (set_operations.py:365-388)."""
     def merge(key, pdf):
-        geoms = [K_wkb.loads(bytes(v)) for v in pdf[geom_col] if v is not None]
+        geoms = [g for v in pdf[geom_col]
+                 if (g := SG._loads_safe(v)) is not None]
         u = K_con.coverage_union_all(geoms)
         return pd.DataFrame({group_col: [key[0]],
                              "geom": [K_wkb.dumps(u)],
