@@ -1087,21 +1087,51 @@ def union_all(geoms) -> Geom | None:
     polygonal = [g for g in parts
                  if g.type_id in (POLYGON, MULTIPOLYGON) and not g.is_empty]
     if len(polygonal) == len([g for g in parts if not g.is_empty]) and len(polygonal) >= 2:
-        # dissolve only when something actually overlaps (cheap check)
         flat = []
         for g in polygonal:
             flat.extend(g.parts if g.type_id == MULTIPOLYGON else [g])
-        overlapping = any(
-            P._interiors_intersect(flat[i], flat[j])
-            for i in range(len(flat)) for j in range(i + 1, len(flat))
-            if not P._bbox_disjoint(flat[i], flat[j]))
-        if overlapping:
+        # overlap graph via an STR envelope tree: O(n log n) candidate
+        # pairs instead of the all-pairs scan (a dissolve group can be
+        # thousands of tiles at production scale); exact interior test
+        # only on envelope-overlapping candidates, union-find into
+        # connected components, GH union fold per component
+        from .strtree import STRtree
+        tree = STRtree(flat)
+        parent = list(range(len(flat)))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        any_overlap = False
+        for i, g in enumerate(flat):
+            for j in tree.query(g):
+                j = int(j)
+                if j <= i:
+                    continue
+                if find(i) != find(j) and P._interiors_intersect(flat[i], flat[j]):
+                    parent[find(j)] = find(i)
+                    any_overlap = True
+        if any_overlap:
             from . import overlay as O
-            acc = flat[0]
+            comps = {}
+            for i in range(len(flat)):
+                comps.setdefault(find(i), []).append(flat[i])
             try:
-                for g in flat[1:]:
-                    acc = O.overlay(acc, g, "union")
-                return acc
+                merged = []
+                for members in comps.values():
+                    if len(members) == 1:
+                        merged.append(members[0])
+                        continue
+                    acc = members[0]
+                    for g in members[1:]:
+                        acc = O.overlay(acc, g, "union")
+                    merged.extend(acc.parts if acc.type_id == MULTIPOLYGON
+                                  else [acc])
+                return merged[0] if len(merged) == 1 else \
+                    Geom(MULTIPOLYGON, parts=merged)
             except (NotImplementedError, RecursionError):
                 pass  # fall back to collect
     return collect(geoms)
