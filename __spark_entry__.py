@@ -780,6 +780,23 @@ def q_winnow_dups(spark, sf_dir):
             .orderBy("da", "db"))
 
 
+def q_near_dup_keepers(spark, sf_dir):
+    """End-to-end near-dup resolution: exact token-Jaccard pairs at
+    0.9 -> distributed connected components (min-label propagation) ->
+    keeper = min doc id per cluster.  Exact-pair graph on both sides so
+    the DuckDB recursive-CTE oracle reproduces it bit-for-bit (the LSH
+    candidate path is recall-tested in tests/)."""
+    from spark_geo import text as TX
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = TX.jaccard_pairs(d, threshold=0.9)
+    comp = TX.connected_components(pairs.select("da", "db"))
+    return (d.select("doc_id")
+            .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("component", F.col("doc_id")).alias("keeper"))
+            .orderBy("doc_id"))
+
+
 def q_srid_roundtrip(spark, sf_dir):
     """set_srid / get_srid EWKB round-trip; geometry values unchanged
     (reference geometry.py:177-235)."""
@@ -839,6 +856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "buffer_styles": q_buffer_styles,
         "embedding_near_dup": q_embedding_near_dup,
         "winnow_dups": q_winnow_dups,
+        "near_dup_keepers": q_near_dup_keepers,
         "srid_roundtrip": q_srid_roundtrip,
     }
 
@@ -1167,6 +1185,35 @@ def oracle_sql() -> dict[str, str]:
                     / (SQRT(list_dot_product(a.emb, a.emb))
                      * SQRT(list_dot_product(b.emb, b.emb))), 5) >= 0.3
             ORDER BY 1, 2
+        """,
+        "near_dup_keepers": """
+            WITH RECURSIVE toks AS (
+              SELECT DISTINCT doc_id, tok
+              FROM (SELECT doc_id,
+                           UNNEST(string_split_regex(TRIM(text), '\\s+')) AS tok
+                    FROM documents)),
+            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+              FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT da, db
+              FROM inter JOIN sizes sa ON da = sa.doc_id
+                         JOIN sizes sb ON db = sb.doc_id
+              WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.9),
+            sym AS (SELECT da AS s, db AS d FROM pairs
+                    UNION SELECT db, da FROM pairs),
+            reach(s, d) AS (
+              SELECT s, d FROM sym
+              UNION
+              SELECT r.s, e.d FROM reach r JOIN sym e ON r.d = e.s
+              WHERE e.d <> r.s),
+            comp AS (SELECT s AS node, LEAST(s, MIN(d)) AS keeper
+                     FROM reach GROUP BY s)
+            SELECT doc.doc_id, COALESCE(comp.keeper, doc.doc_id) AS keeper
+            FROM documents doc LEFT JOIN comp ON comp.node = doc.doc_id
+            ORDER BY 1
         """,
         "srid_roundtrip": """
             SELECT n_nationkey::BIGINT AS polygon_id,

@@ -256,6 +256,64 @@ def winnow_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
             .where(F.col("n_shared") >= min_shared))
 
 
+def connected_components(pairs: DataFrame, src: str = "da", dst: str = "db",
+                         max_iter: int = 20) -> DataFrame:
+    """Distributed connected components by min-label propagation:
+    every node repeatedly adopts the minimum label in its neighborhood
+    until fixpoint — O(component diameter) rounds (dedup clusters have
+    tiny diameters; the LSH graph is near-clique), each round one
+    equi-join + one map-side-combinable min aggregate.
+
+    Returns (node, component) with component = min node id reachable.
+    This is the keeper-resolution step a near-dup pipeline needs after
+    pair verification: transitive duplicates collapse to one cluster
+    even when A~B, B~C but A!~C."""
+    e = pairs.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    # localCheckpoint truncates lineage each round — an iterative
+    # algorithm otherwise compounds its plan and blows planning memory
+    # (the same idiom a production job would use with a durable
+    # checkpoint dir for resumability)
+    edges = e.union(e.select(F.col("_d").alias("_s"), F.col("_s").alias("_d"))) \
+        .distinct().localCheckpoint(eager=True)
+    labels = (edges.select(F.col("_s").alias("node")).distinct()
+              .withColumn("component", F.col("node"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        prop = (edges.join(labels, edges["_s"] == labels["node"])
+                .groupBy(F.col("_d").alias("node"))
+                .agg(F.min("component").alias("_nbr_min")))
+        new_labels = (labels.join(prop, "node", "left")
+                      .select("node",
+                              F.least("component",
+                                      F.coalesce("_nbr_min", "component"))
+                              .alias("component"))
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.join(labels.withColumnRenamed("component", "_old"),
+                                   "node")
+                   .where(F.col("component") != F.col("_old"))
+                   .limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", "component")
+
+
+def near_dup_clusters(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", threshold: float = 0.9,
+                      n_hashes: int = 32, bands: int = 4) -> DataFrame:
+    """End-to-end near-dup resolution: LSH candidates -> exact Jaccard
+    verify (linear in candidates) -> connected components -> keeper =
+    min id per cluster.  Returns (doc_id, keeper); singleton docs keep
+    themselves."""
+    cand = lsh_candidate_pairs(df, id_col, text_col, n_hashes, bands)
+    verified = jaccard_pairs(df, id_col, text_col, threshold, candidates=cand)
+    comp = connected_components(verified.select("da", "db"))
+    return (df.select(id_col)
+            .join(comp.withColumnRenamed("node", id_col), id_col, "left")
+            .select(id_col,
+                    F.coalesce("component", F.col(id_col)).alias("keeper")))
+
+
 # BPE-ish pre-tokenizer: letter runs | digits | punctuation runs —
 # the GPT-2-style regex simplified to Java/RE2-portable classes
 BPE_TOKEN_PATTERN = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]+"

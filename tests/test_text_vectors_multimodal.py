@@ -213,3 +213,32 @@ def test_resize_images(spark):
     for r in out:
         assert len(r["resized"]) == 16 * 4
         assert r["width"] == 16 and r["height"] == 4
+
+
+def test_connected_components_chain(spark):
+    """Min-label propagation: a chain A-B-C-D collapses to one
+    component even though A and D never share an edge; disjoint pair
+    stays separate."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "da long, db long")
+    comp = {r["node"]: r["component"]
+            for r in TX.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_near_dup_clusters_transitive(spark):
+    """A~B and B~C by Jaccard but A!~C directly: all three resolve to
+    keeper A (transitive closure), and unrelated docs keep themselves."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, base),                                     # A
+        (1, base + " lambda"),                         # B ~ A
+        (2, base + " lambda mu nu"),                   # C ~ B, not ~A @0.8
+        (3, "totally different content with no overlap at all here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["keeper"]
+           for r in TX.near_dup_clusters(df, threshold=0.8,
+                                         n_hashes=16, bands=8).collect()}
+    assert out[0] == 0 and out[1] == 0 and out[2] == 0
+    assert out[3] == 3
