@@ -126,3 +126,29 @@ def test_stream_sessionize_stateful(spark, tmp_path):
         assert last.loc[2, "sessions_closed"] == 1   # previous one closed
     finally:
         q.stop()
+
+
+def test_symmetric_difference_all_reduce_semantics(spark):
+    """ufunc.reduce algebra (reference set_operations.py:223-257 +
+    test_set_operations reduce cases): skip None, all-None -> NULL,
+    single element -> itself, disjoint fold -> additive union."""
+    from spark_geo import functions as SG
+    rows = [
+        (0, K_wkb.dumps(Geom.box(0, 0, 2, 2))),       # disjoint pair:
+        (0, K_wkb.dumps(Geom.box(5, 0, 7, 2))),       # symdiff = union
+        (1, None), (1, None),                         # all-None group
+        (2, K_wkb.dumps(Geom.box(0, 0, 3, 3))),       # singleton
+        (3, K_wkb.dumps(Geom.box(0, 0, 4, 2))),       # overlapping pair
+        (3, K_wkb.dumps(Geom.box(2, 0, 6, 2))),
+        (3, None),                                    # None skipped
+    ]
+    df = spark.createDataFrame(rows, "grp long, geom binary")
+    out = AG.symmetric_difference_all(df, "grp")
+    areas = {r["grp"]: r["a"] for r in
+             out.select("grp", SG.st_area("geom").alias("a")).collect()}
+    geoms = {r["grp"]: r["geom"] for r in out.collect()}
+    np.testing.assert_allclose(areas[0], 8.0)   # two disjoint boxes
+    assert geoms[1] is None                     # all-None -> NULL
+    np.testing.assert_allclose(areas[2], 9.0)   # identity on singleton
+    # overlapping: (4x2) symdiff (4x2 shifted) = union minus 2x overlap
+    np.testing.assert_allclose(areas[3], 12.0 - 4.0, atol=1e-6)
