@@ -64,3 +64,27 @@ def write_tiles(df: DataFrame, path: str, parent_res: int = 2,
 
 def read_tiles(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def write_bucketed_by_cell(df: DataFrame, table: str, n_buckets: int = 64,
+                           cell_col: str = "cell",
+                           sort_within: bool = True) -> None:
+    """Persist a cell-keyed table BUCKETED (and sorted) by the cell id.
+
+    Two tables bucketed by the same key with the same bucket count
+    equi-join WITHOUT a shuffle on either side — the pre-partitioning
+    that makes repeated cell joins (daily pages ⋈ static layer cover)
+    exchange-free at 100 TB.  Buckets land in the session catalog's
+    warehouse as parquet."""
+    w = df.write.mode("overwrite").format("parquet") \
+        .bucketBy(n_buckets, cell_col)
+    if sort_within:
+        w = w.sortBy(cell_col)
+    w.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed table; joins on its bucket key skip the
+    exchange (requires spark.sql.sources.bucketing.enabled, default
+    true)."""
+    return spark.table(table)
