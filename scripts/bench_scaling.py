@@ -175,6 +175,8 @@ def main():
         f"| {h['ts']} | {h[f'local[{LEVELS[0]}]_pages_per_sec']:,} "
         f"| {h[f'local[{LEVELS[1]}]_pages_per_sec']:,} "
         f"| {h['scaling_efficiency']} |" for h in same)
+    if n_pages != N_PAGES:
+        return  # exploratory size: history recorded, headline untouched
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(f"""# BENCH/BASELINE — flagship throughput + scaling
 
