@@ -106,6 +106,33 @@ def is_valid_reason(g: Geom | None) -> str | None:
                                              Geom(POLYGON, rings=[g.rings[0]]))
                 if not inside.all():
                     return "Hole lies outside shell"
+        # holes must not be nested inside each other
+        holes = [h for h in g.rings[1:] if len(h) >= 4]
+        for i in range(len(holes)):
+            for j in range(len(holes)):
+                if i != j and P.covers(Geom(POLYGON, rings=[holes[i]]),
+                                       Geom(POLYGON, rings=[holes[j]])):
+                    return "Holes are nested"
+        return "Valid Geometry"
+    if g.type_id == MULTIPOLYGON and g.parts:
+        for p in g.parts:
+            r = is_valid_reason(p)
+            if r != "Valid Geometry":
+                return r
+        # component shells must not be nested / overlap interiors
+        # (covers is tested against the FULL holed part, so a shell
+        # sitting legitimately inside another part's hole passes)
+        shells = [Geom(POLYGON, rings=[p.rings[0]]) for p in g.parts
+                  if p.rings and len(p.rings[0]) >= 4]
+        for i in range(len(shells)):
+            for j in range(i + 1, len(shells)):
+                if P._bbox_disjoint(shells[i], shells[j]):
+                    continue
+                if P.covers(g.parts[i], shells[j]) or \
+                        P.covers(g.parts[j], shells[i]):
+                    return "Nested shells"
+                if P._interiors_intersect(g.parts[i], g.parts[j]):
+                    return "Self-intersection"
         return "Valid Geometry"
     if g.parts:
         for p in g.parts:

@@ -208,3 +208,31 @@ def test_simplify_preserve_topology():
     dense = C.segmentize(Geom.linestring(np.array([[0., 0.], [8., 0.]])), 1.0)
     s = C.simplify(dense, 0.5, preserve_topology=True)
     assert len(s.coords) == 2
+
+
+def test_is_valid_nesting_rules():
+    """OGC nesting rules (reference predicates.py is_valid_reason):
+    nested holes invalid, nested shells invalid, overlapping shells
+    invalid, but a shell inside another polygon's HOLE is valid."""
+    import numpy as np
+    from spark_geo.kernel.geom import Geom, MULTIPOLYGON
+    from spark_geo.kernel import unary as U
+    box = Geom.box
+    nested_holes = Geom(3, rings=[box(0, 0, 10, 10).rings[0],
+                                  box(2, 2, 8, 8).rings[0],
+                                  box(3, 3, 5, 5).rings[0]])
+    assert U.is_valid_reason(nested_holes) == "Holes are nested"
+    ok_holes = Geom(3, rings=[box(0, 0, 10, 10).rings[0],
+                              box(1, 1, 3, 3).rings[0],
+                              box(5, 5, 7, 7).rings[0]])
+    assert U.is_valid_reason(ok_holes) == "Valid Geometry"
+    assert U.is_valid_reason(
+        Geom(MULTIPOLYGON, parts=[box(0, 0, 10, 10), box(2, 2, 4, 4)])) \
+        == "Nested shells"
+    assert U.is_valid_reason(
+        Geom(MULTIPOLYGON, parts=[box(0, 0, 4, 4), box(2, 2, 6, 6)])) \
+        == "Self-intersection"
+    holed = Geom(3, rings=[box(0, 0, 10, 10).rings[0], box(2, 2, 8, 8).rings[0]])
+    island = box(4, 4, 6, 6)
+    assert U.is_valid_reason(Geom(MULTIPOLYGON, parts=[holed, island])) \
+        == "Valid Geometry"
