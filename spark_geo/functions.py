@@ -323,8 +323,8 @@ def st_distance(a: pd.Series, b: pd.Series) -> pd.Series:
     out[fast] = np.hypot(ax[fast] - bx[fast], ay[fast] - by[fast])
     slow = np.nonzero(~fast)[0]
     for i in slow:
-        ga = None if ab[i] is None else K_wkb.loads(ab[i])
-        gb = None if bb[i] is None else K_wkb.loads(bb[i])
+        ga = _loads_safe(ab[i])
+        gb = _loads_safe(bb[i])
         out[i] = K_m.distance(ga, gb)
     return pd.Series(out)
 
@@ -365,8 +365,8 @@ def st_dwithin(a, b, distance: float):
         out = np.zeros(len(sa), dtype=bool)
         out[fast] = np.hypot(ax[fast] - bx[fast], ay[fast] - by[fast]) <= distance
         for i in np.nonzero(~fast)[0]:
-            ga = None if ab[i] is None else K_wkb.loads(ab[i])
-            gb = None if bb[i] is None else K_wkb.loads(bb[i])
+            ga = _loads_safe(ab[i])
+            gb = _loads_safe(bb[i])
             out[i] = K_p.dwithin(ga, gb, distance)
         return pd.Series(out)
     return _udf(a, b)

@@ -123,3 +123,45 @@ def test_malformed_wkb_fuzz(spark):
     # at least the obviously-junk rows are NULL/False
     for r in got:
         assert r["a"] is None or isinstance(r["a"], float)
+
+
+def test_null_empty_poisoned_sweep(spark):
+    """Every fixed-signature st_* function must survive NULL, EMPTY,
+    and MALFORMED binary rows without failing the task (the 10^12-row
+    poisoned-row invariant).  Unary functions run over all three rows;
+    binary ones over their cross-pairs."""
+    import inspect
+    from pyspark.sql import functions as F
+    from spark_geo import functions as SG
+    from spark_geo.kernel import wkb as K_wkb
+    from spark_geo.kernel.geom import Geom
+
+    rows = [(0, None),
+            (1, K_wkb.dumps(Geom(3))),                   # POLYGON EMPTY
+            (2, b"\x01\x99\x00\x00garbage"),             # malformed
+            (3, K_wkb.dumps(Geom.box(0, 0, 2, 2)))]
+    df = spark.createDataFrame(rows, "id long, g binary")
+    names = SG.register_sql_functions(spark)
+    non_geom_input = {"st_point", "st_from_wkt", "st_from_geojson",
+                      "st_cell_boundary"}
+    checked = 0
+    for name in names:
+        if name in non_geom_input:
+            continue
+        fn = getattr(SG, name)
+        try:
+            n_args = len(inspect.signature(fn.func).parameters)
+        except (AttributeError, ValueError, TypeError):
+            continue
+        try:
+            if n_args == 1:
+                df.select(fn(F.col("g")).alias("r")).collect()
+            elif n_args == 2 and name not in ("st_point",):
+                df.crossJoin(df.select(F.col("g").alias("g2"))) \
+                  .select(fn(F.col("g"), F.col("g2")).alias("r")).collect()
+            else:
+                continue
+        except Exception as e:  # noqa: BLE001
+            raise AssertionError(f"{name} failed on poisoned rows: {e}") from e
+        checked += 1
+    assert checked >= 50, f"only {checked} functions swept"
