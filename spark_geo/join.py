@@ -236,7 +236,7 @@ def probe_batch(tree: STRtree, wkbs, predicate=None, distance=None):
     all_points = bool(np.all(np.isnan(xs) == np.array([v is None for v in arr])))
     if all_points and (predicate in _POINT_FAST_PREDICATES or predicate is None):
         return _probe_batch_points(tree, xs, ys, predicate, distance)
-    geoms = [None if v is None else K_wkb.loads(v) for v in arr]
+    geoms = [SG._loads_safe(v) for v in arr]
     pairs = tree.query_bulk(geoms, predicate=predicate, distance=distance)
     return pairs[0], pairs[1]
 
