@@ -33,7 +33,7 @@ def test_wkb_roundtrip_box(x, y, w, h):
     back = K_wkb.loads(K_wkb.dumps(g))
     assert P.equals_exact(g, back, 0.0)
     # same coordinates; summation order may differ by array layout
-    np.testing.assert_allclose(M.area(back), M.area(g), rtol=1e-12)
+    np.testing.assert_allclose(M.area(back), M.area(g), rtol=1e-9)
 
 
 @given(st.lists(st.tuples(coord, coord), min_size=1, max_size=12))
