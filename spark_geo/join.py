@@ -213,11 +213,15 @@ def _point_candidates(tree: STRtree, xs, ys, pad: float):
     if total == 0:
         return np.empty(0, np.int64), np.empty(0, np.int64)
     # int32 gather indices: half the memory traffic of int64 (the
-    # gather dominates the probe's DRAM footprint at high parallelism)
-    cl = np.repeat(np.arange(len(xs), dtype=np.int32), counts)
-    starts = np.repeat(lo.astype(np.int32), counts)
-    csum = (np.cumsum(counts) - counts).astype(np.int32)
-    intra = np.arange(total, dtype=np.int32) - np.repeat(csum, counts)
+    # gather dominates the probe's DRAM footprint at high parallelism);
+    # fall back to int64 above 2^31 candidates/positions — a silent
+    # wrap would return wrong pairs instead of failing loudly
+    gdt = np.int32 if (total <= np.iinfo(np.int32).max
+                       and len(pos_sorted) <= np.iinfo(np.int32).max) else np.int64
+    cl = np.repeat(np.arange(len(xs), dtype=gdt), counts)
+    starts = np.repeat(lo.astype(gdt), counts)
+    csum = (np.cumsum(counts) - counts).astype(gdt)
+    intra = np.arange(total, dtype=gdt) - np.repeat(csum, counts)
     cr = pos_sorted[starts + intra]
     # exact envelope filter (cells over-approximate)
     b = tree._boxes

@@ -196,7 +196,9 @@ def polygonize_full(lines):
         for a, b in new_cuts:
             cut_edges.append((a, b))
             g.remove_edge(a, b)
-        g.peel_dangles()  # cut removal can expose new dangles -> cuts too
+        # cut removal can expose new dangles; keep them in the dangle
+        # output (no leftover edge may vanish from all four outputs)
+        dangle_edges.extend(g.peel_dangles())
     else:
         cycles = g.trace_faces()
 

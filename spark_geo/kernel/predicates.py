@@ -338,6 +338,33 @@ def _segment_split_params(seg, segs) -> np.ndarray:
     return np.unique(np.concatenate(ts))
 
 
+def _ring_interior_point(ring: np.ndarray) -> np.ndarray | None:
+    """A point strictly inside the simple polygon bounded by ``ring``
+    (scanline at a y between two distinct vertex ys; midpoint of the
+    widest even-odd inside interval).  None if degenerate."""
+    if len(ring) < 4:
+        return None
+    ys = np.unique(ring[:, 1])
+    if len(ys) < 2:
+        return None
+    # a y strictly between vertex levels avoids horizontal-edge ties
+    yc = (ys[len(ys) // 2 - 1] + ys[len(ys) // 2]) / 2.0
+    x1, y1 = ring[:-1, 0], ring[:-1, 1]
+    x2, y2 = ring[1:, 0], ring[1:, 1]
+    crossing = (y1 > yc) != (y2 > yc)
+    if not crossing.any():
+        return None
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xs = x1[crossing] + (yc - y1[crossing]) * \
+            (x2[crossing] - x1[crossing]) / (y2[crossing] - y1[crossing])
+    xs = np.sort(xs)
+    if len(xs) < 2:
+        return None
+    widths = xs[1::2] - xs[0::2][: len(xs[1::2])]
+    k = int(np.argmax(widths))
+    return np.array([[(xs[2 * k] + xs[2 * k + 1]) / 2.0, yc]])
+
+
 def covers(a: Geom | None, b: Geom | None) -> bool:
     """No point of b outside a (reference predicates.py:617-660).
 
@@ -365,6 +392,26 @@ def covers(a: Geom | None, b: Geom | None) -> bool:
                 my = seg[1] + mids_t * (seg[3] - seg[1])
                 if not _points_covered(np.column_stack([mx, my]), a).all():
                     return False
+        # holes of a swallowed whole by polygonal b: b's boundary never
+        # enters such a hole (the split-midpoint test above catches the
+        # partial case), so probe one interior point per hole — if it
+        # lands strictly inside b's interior, b has points outside a.
+        if _is_polygonal(b) and b.dimensions() == 2:
+            bb = b.bounds()
+            for poly in _iter_polygons(a):
+                for hole in poly.rings[1:]:
+                    if len(hole) < 4:
+                        continue
+                    hx0, hy0 = hole[:, 0].min(), hole[:, 1].min()
+                    hx1, hy1 = hole[:, 0].max(), hole[:, 1].max()
+                    if hx1 < bb[0] or bb[2] < hx0 or hy1 < bb[1] or bb[3] < hy0:
+                        continue
+                    rep = _ring_interior_point(hole)
+                    if rep is not None and _points_in_interior(rep, b).any() \
+                            and not _points_covered(rep, a).any():
+                        # not covered by a: islands of a filling the
+                        # hole (multipolygon) keep coverage intact
+                        return False
     return True
 
 

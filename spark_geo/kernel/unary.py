@@ -122,16 +122,16 @@ def is_valid_reason(g: Geom | None) -> str | None:
         # component shells must not be nested / overlap interiors
         # (covers is tested against the FULL holed part, so a shell
         # sitting legitimately inside another part's hole passes)
-        shells = [Geom(POLYGON, rings=[p.rings[0]]) for p in g.parts
-                  if p.rings and len(p.rings[0]) >= 4]
+        kept = [p for p in g.parts if p.rings and len(p.rings[0]) >= 4]
+        shells = [Geom(POLYGON, rings=[p.rings[0]]) for p in kept]
         for i in range(len(shells)):
             for j in range(i + 1, len(shells)):
                 if P._bbox_disjoint(shells[i], shells[j]):
                     continue
-                if P.covers(g.parts[i], shells[j]) or \
-                        P.covers(g.parts[j], shells[i]):
+                if P.covers(kept[i], shells[j]) or \
+                        P.covers(kept[j], shells[i]):
                     return "Nested shells"
-                if P._interiors_intersect(g.parts[i], g.parts[j]):
+                if P._interiors_intersect(kept[i], kept[j]):
                     return "Self-intersection"
         return "Valid Geometry"
     if g.parts:

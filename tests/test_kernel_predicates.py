@@ -194,3 +194,57 @@ def test_covers_concave_exact():
     # boxes
     assert P.covers(U, Geom.box(0.5, 0.5, 2.5, 9.0))
     assert not P.covers(U, Geom.box(1, 6, 9, 9))
+
+
+def test_covers_hole_swallowed_by_b():
+    """ADVICE r2: a hole of `a` strictly inside b's interior must break
+    covers(a, b) even when b's boundary never enters the hole."""
+    donut = wkt.from_wkt(
+        "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0),"
+        " (4 4, 6 4, 6 6, 4 6, 4 4))")
+    big_b = wkt.from_wkt("POLYGON ((1 1, 9 1, 9 9, 1 9, 1 1))")
+    assert not P.covers(donut, big_b)
+    assert not P.contains(donut, big_b)
+    assert not P.within(big_b, donut)
+    assert not P.covered_by(big_b, donut)
+    # b avoiding the hole is still covered
+    side_b = wkt.from_wkt("POLYGON ((1 1, 3 1, 3 9, 1 9, 1 1))")
+    assert P.covers(donut, side_b)
+    # b exactly filling the hole touches only boundary: covered is False
+    # (hole interior is outside a), and equals must stay False
+    fill_b = wkt.from_wkt("POLYGON ((4 4, 6 4, 6 6, 4 6, 4 4))")
+    assert not P.covers(donut, fill_b)
+    assert not P.equals(donut, big_b)
+
+
+def test_covers_island_in_hole_multipolygon():
+    """An island part of a multipolygon legitimately filling a hole must
+    not be reported as uncovered."""
+    mp = wkt.from_wkt(
+        "MULTIPOLYGON (((0 0, 10 0, 10 10, 0 10, 0 0),"
+        " (2 2, 8 2, 8 8, 2 8, 2 2)), ((3 3, 7 3, 7 7, 3 7, 3 3)))")
+    island_inner = wkt.from_wkt("POLYGON ((4 4, 6 4, 6 6, 4 6, 4 4))")
+    assert P.covers(mp, island_inner)
+    # but the gap annulus between hole and island is NOT covered
+    gap_probe = wkt.from_wkt(
+        "POLYGON ((2.2 2.2, 7.8 2.2, 7.8 7.8, 2.2 7.8, 2.2 2.2))")
+    assert not P.covers(mp, gap_probe)
+
+
+def test_is_valid_reason_multipolygon_with_empty_part():
+    """ADVICE r2: an empty part must not misalign the shell/part pairing."""
+    from spark_geo.kernel import unary as U
+    from spark_geo.kernel.geom import Geom, MULTIPOLYGON, POLYGON
+    donut = wkt.from_wkt(
+        "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0),"
+        " (2 2, 8 2, 8 8, 2 8, 2 2))")
+    island = wkt.from_wkt("POLYGON ((3 3, 7 3, 7 7, 3 7, 3 3))")
+    empty_poly = Geom(POLYGON, rings=[])
+    mp = Geom(MULTIPOLYGON, parts=[empty_poly, donut, island])
+    assert U.is_valid_reason(mp) == "Valid Geometry"
+    # genuinely nested shells still detected with an empty part in front
+    bad = Geom(MULTIPOLYGON, parts=[
+        empty_poly,
+        wkt.from_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"),
+        island])
+    assert U.is_valid_reason(bad) != "Valid Geometry"

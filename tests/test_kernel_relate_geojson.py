@@ -139,3 +139,22 @@ def test_relate_concave_line_exact():
     assert R.relate(U, inside) == "102FF1FF2"
     on_boundary = Geom.linestring(np.array([[3.5, 3.], [6.5, 3.]]))
     assert R.relate(U, on_boundary) == "FF2101FF2"
+
+
+def test_polygonize_full_dumbbell_accounting():
+    """No leftover edge may vanish: bridge -> cuts, tail -> dangles,
+    both squares -> polygons (ADVICE r2 second-pass dangle capture)."""
+    from spark_geo.kernel import wkt as W
+    from spark_geo.kernel.polygonize import polygonize_full
+    lines = [W.from_wkt(w) for w in [
+        "LINESTRING (0 0, 1 0, 1 1, 0 1, 0 0)",
+        "LINESTRING (1 0, 1.5 0)",
+        "LINESTRING (1.5 0, 2 0)",
+        "LINESTRING (1.5 0, 1.5 1)",
+        "LINESTRING (2 0, 3 0, 3 1, 2 1, 2 0)",
+    ]]
+    polys, cuts, dangles, invalid = polygonize_full(lines)
+    assert W.to_wkt(polys).startswith("MULTIPOLYGON") and len(polys.parts) == 2
+    assert "1.5 0, 2 0" in W.to_wkt(cuts) and "1 0, 1.5 0" in W.to_wkt(cuts)
+    assert "1.5" in W.to_wkt(dangles)
+    assert W.to_wkt(invalid) == "GEOMETRYCOLLECTION EMPTY"
