@@ -228,11 +228,14 @@ def q_events_sessionize(spark, sf_dir):
 
 
 def q_dedup_exact(spark, sf_dir):
-    """Exact dedup over documents: keeper = min doc_id per text."""
+    """Exact dedup over documents via the engine's hash-first scale
+    shape (spark_geo.text.exact_dedup): shuffle carries (sha256, id)
+    instead of raw text — the plan a 100 TB corpus needs."""
+    from spark_geo import text as TX
     d = _load(spark, sf_dir, "documents")
-    return (d.groupBy("text").agg(F.min("doc_id").alias("keeper"),
-                                  F.count(F.lit(1)).alias("n_copies"))
-            .select("keeper", "n_copies").orderBy("keeper"))
+    return (TX.exact_dedup(d)
+            .select("content_hash", "keeper", "n_copies")
+            .orderBy("keeper"))
 
 
 def q_token_jaccard_dups(spark, sf_dir):
@@ -257,31 +260,18 @@ def q_token_jaccard_dups(spark, sf_dir):
 
 
 def q_minhash_candidates(spark, sf_dir):
-    """MinHash-LSH near-dup candidates (banded minhash over token sets;
-    deterministic xxhash64 family).  Non-SQL-expressible: rows-only
-    driver check; tested against exact Jaccard in tests/."""
+    """MinHash-LSH near-dup candidates (banded minhash over token
+    sets).  Oracle-checkable: the seeded md5 hash family (min over
+    fixed-length hex strings = numeric min) is engine-portable, so the
+    IDENTICAL signature + banding + pairing pipeline runs in DuckDB —
+    full end-to-end verification, not rows-only.  The production
+    xxhash64 family (spark_geo.text defaults) is recall-tested against
+    exact Jaccard in tests/."""
+    from spark_geo import text as TX
     d = _load(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = (d.select("doc_id", F.explode(F.split(F.trim("text"), "\\s+")).alias("tok"))
-            .distinct())
-    n_hashes, bands = 32, 4  # rows-per-band = 8: P(candidate) ≈ 1-(1-J^8)^4
-    minhashes = toks.groupBy("doc_id").agg(*[
-        F.min(F.xxhash64(F.col("tok"), F.lit(i))).alias(f"h{i}")
-        for i in range(n_hashes)])
-    r = n_hashes // bands
-    band_cols = [F.xxhash64(*[F.col(f"h{b * r + k}") for k in range(r)]).alias(f"band{b}")
-                 for b in range(bands)]
-    banded = minhashes.select("doc_id", *band_cols)
-    stacked = banded.select("doc_id", F.explode(F.array(*[
-        F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("sig"))
-        for b in range(bands)])).alias("bs")).select("doc_id", "bs.band", "bs.sig")
-    x = stacked.alias("x")
-    y = stacked.alias("y")
-    cand = (x.join(y, (F.col("x.band") == F.col("y.band"))
-                   & (F.col("x.sig") == F.col("y.sig"))
-                   & (F.col("x.doc_id") < F.col("y.doc_id")))
-            .select(F.col("x.doc_id").alias("da"), F.col("y.doc_id").alias("db"))
-            .distinct())
-    return cand.orderBy("da", "db")
+    # rows-per-band = 8: P(candidate) ≈ 1-(1-J^8)^4
+    return (TX.lsh_candidate_pairs(d, n_hashes=32, bands=4, hash_mode="md5")
+            .orderBy("da", "db"))
 
 
 def q_ann_cosine_topk(spark, sf_dir):
@@ -368,12 +358,15 @@ def q_line_interpolate(spark, sf_dir):
 
 
 def q_simhash_dups(spark, sf_dir):
-    """SimHash near-dup pairs over documents (rows-only: 64-bit
-    fingerprint banding is not ANSI-SQL-expressible; exactness is
-    tested against hamming distance in tests/)."""
+    """SimHash near-dup pairs over documents.  Oracle-checkable: 64
+    bits derived from md5 hex digits (engine-portable) make the bit
+    votes, block banding, and hamming verify reproducible in DuckDB
+    (hamming() over the bit strings there, bit_count(xor) here)."""
     from spark_geo import text as TX
     d = _load(spark, sf_dir, "documents")
-    return TX.simhash_near_dups(d, max_hamming=16).orderBy("da", "db")
+    return (TX.simhash_near_dups(d, max_hamming=16, hash_mode="md5")
+            .withColumn("hamming", F.col("hamming").cast("long"))
+            .orderBy("da", "db"))
 
 
 def q_lang_id(spark, sf_dir):
@@ -770,13 +763,17 @@ def q_embedding_near_dup(spark, sf_dir):
 
 
 def q_winnow_dups(spark, sf_dir):
-    """Winnowing (rolling-hash) fingerprint candidate pairs over the
-    documents table (rows-only: the k-gram rolling hash is not
-    ANSI-SQL-expressible; the substring-sharing guarantee is tested in
-    tests/)."""
+    """Winnowing fingerprint candidate pairs over the documents table.
+    Oracle-checkable: the winnowing guarantee (shared substring of
+    length >= k+window-1 => shared fingerprint) holds for any k-gram
+    hash family, so the md5-k-gram Catalyst variant verifies the whole
+    window-min + distinct + equi-join pipeline verbatim in DuckDB; the
+    NumPy rolling-hash fast path is substring-guarantee-tested in
+    tests/."""
     from spark_geo import text as TX
     d = _load(spark, sf_dir, "documents")
-    return (TX.winnow_candidate_pairs(d, k=8, window=4, min_shared=3)
+    return (TX.winnow_candidate_pairs(d, k=8, window=4, min_shared=3,
+                                      hash_mode="md5")
             .orderBy("da", "db"))
 
 
@@ -951,8 +948,9 @@ def oracle_sql() -> dict[str, str]:
             FROM g GROUP BY user_id ORDER BY user_id
         """,
         "dedup_exact": """
-            SELECT MIN(doc_id) AS keeper, COUNT(*) AS n_copies
-            FROM documents GROUP BY text ORDER BY 1
+            SELECT sha256(text) AS content_hash, MIN(doc_id) AS keeper,
+                   COUNT(*) AS n_copies
+            FROM documents GROUP BY text ORDER BY 2
         """,
         "token_jaccard_dups": """
             WITH toks AS (
@@ -1222,12 +1220,148 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(2380.0, 6) AS area_r
             FROM nation ORDER BY 1
         """,
-        # minhash_candidates, simhash_dups, lang_id, winnow_dups:
-        # intentionally
-        # omitted (LSH banding / 64-bit fingerprints / argmax marker
-        # scoring are not ANSI-SQL-expressible; driver records
-        # rows-only, exactness tested in tests/)
+        "minhash_candidates": _minhash_oracle_sql(),
+        "simhash_dups": _simhash_oracle_sql(),
+        "winnow_dups": _winnow_oracle_sql(),
+        "lang_id": _lang_id_oracle_sql(),
     }
+
+
+def _minhash_oracle_sql(n_hashes: int = 32, bands: int = 4) -> str:
+    """Verbatim DuckDB twin of TX.lsh_candidate_pairs(hash_mode='md5'):
+    seeded-md5 minhash signatures (string MIN on fixed-length hex =
+    numeric min), concat-ws band buckets, (band,bucket) self-join."""
+    r = n_hashes // bands
+    aggs = ",\n                   ".join(
+        f"MIN(md5(tok || ':{i}')) AS h{i}" for i in range(n_hashes))
+    band_selects = "\n            UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, concat_ws('|', "
+        + ", ".join(f"h{b * r + k}" for k in range(r))
+        + ") AS bucket FROM sig"
+        for b in range(bands))
+    return f"""
+        WITH toks AS (
+            SELECT DISTINCT doc_id, tok FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(text), '\\s+')) AS tok
+                FROM documents)
+            WHERE tok <> ''
+        ), sig AS (
+            SELECT doc_id, {aggs}
+            FROM toks GROUP BY doc_id
+        ), banded AS (
+            {band_selects}
+        )
+        SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+        FROM banded x JOIN banded y
+          ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+        ORDER BY da, db
+    """
+
+
+def _simhash_oracle_sql(max_hamming: int = 16) -> str:
+    """DuckDB twin of TX.simhash_near_dups(hash_mode='md5'): 64 bit
+    votes from md5 hex digits, 16-bit block banding, hamming verify
+    (hamming() over the bit strings = bit_count(xor) on packed longs).
+    Bit b = nibble b//4 from the right of md5's first 16 hex digits,
+    bit b%4 — identical to the Spark expression."""
+    votes = ",\n                   ".join(
+        f"SUM((((instr('0123456789abcdef', substr(h16, {16 - b // 4}, 1)) - 1)"
+        f" >> {b % 4}) & 1) * 2 - 1) AS v{b}"
+        for b in range(64))
+    bits = ", ".join(f"CASE WHEN v{b} > 0 THEN '1' ELSE '0' END"
+                     for b in range(63, -1, -1))
+    block_selects = "\n            UNION ALL ".join(
+        f"SELECT doc_id, bitstr, {k} AS blk,"
+        f" substr(bitstr, {49 - 16 * k}, 16) AS val FROM bits"
+        for k in range(4))
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, substr(md5(tok), 1, 16) AS h16 FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(text), '\\s+')) AS tok
+                FROM documents)
+            WHERE tok <> ''
+        ), votes AS (
+            SELECT doc_id, {votes}
+            FROM toks GROUP BY doc_id
+        ), bits AS (
+            SELECT doc_id, concat({bits}) AS bitstr FROM votes
+        ), blocks AS (
+            {block_selects}
+        ), cand AS (
+            SELECT DISTINCT x.doc_id AS da, y.doc_id AS db,
+                   x.bitstr AS ba, y.bitstr AS bb
+            FROM blocks x JOIN blocks y
+              ON x.blk = y.blk AND x.val = y.val AND x.doc_id < y.doc_id
+        )
+        SELECT da, db, hamming(ba, bb)::BIGINT AS hamming
+        FROM cand WHERE hamming(ba, bb) <= {max_hamming}
+        ORDER BY da, db
+    """
+
+
+def _winnow_oracle_sql(k: int = 8, window: int = 4, min_shared: int = 3) -> str:
+    """DuckDB twin of TX.winnow_candidate_pairs(hash_mode='md5'):
+    md5 character-k-gram hashes, sliding-window min, distinct set,
+    equi-join on fingerprint with >= min_shared."""
+    return f"""
+        WITH grams AS (
+            SELECT doc_id, CASE WHEN length(text) >= {k}
+                THEN list_transform(range(1, length(text) - {k} + 2),
+                                    j -> md5(substr(text, j::INT, {k})))
+                ELSE []::VARCHAR[] END AS g
+            FROM documents
+        ), mins AS (
+            SELECT doc_id, CASE
+                WHEN len(g) >= {window} THEN
+                    list_transform(range(1, len(g) - {window} + 2),
+                                   j -> list_min(g[j::INT : j::INT + {window - 1}]))
+                WHEN len(g) > 0 THEN [list_min(g)]
+                ELSE []::VARCHAR[] END AS m
+            FROM grams
+        ), fps AS (
+            SELECT doc_id, unnest(list_distinct(m)) AS fp FROM mins
+        )
+        SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*)::BIGINT AS n_shared
+        FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING COUNT(*) >= {min_shared}
+        ORDER BY 1, 2
+    """
+
+
+def _lang_id_oracle_sql() -> str:
+    """DuckDB twin of TX.lang_id: marker-token intersection scores,
+    argmax with the same tie-break as Spark's array_max over
+    struct(score, lang) — highest score, then lexicographically
+    greatest language code; 'und' when no marker hits."""
+    from spark_geo.text import _LANG_MARKERS
+    values = ",\n                ".join(
+        "('{}', [{}])".format(
+            lang, ", ".join("'{}'".format(w) for w in words))
+        for lang, words in sorted(_LANG_MARKERS.items()))
+    return f"""
+        WITH docs AS (
+            SELECT doc_id, lang,
+                   list_distinct(string_split_regex(lower(trim(text)),
+                                                    '\\s+')) AS toks
+            FROM documents
+        ), langs(l, markers) AS (
+            VALUES {values}
+        ), scored AS (
+            SELECT doc_id, lang, l,
+                   len(list_intersect(toks, markers)) AS score
+            FROM docs CROSS JOIN langs
+        ), best AS (
+            SELECT doc_id, lang,
+                   first(l ORDER BY score DESC, l DESC) AS best_l,
+                   max(score) AS best_s
+            FROM scored GROUP BY doc_id, lang
+        )
+        SELECT lang, CASE WHEN best_s > 0 THEN best_l ELSE 'und' END AS lang_pred,
+               COUNT(*)::BIGINT AS n
+        FROM best GROUP BY 1, 2 ORDER BY 1, 2
+    """
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -74,9 +74,14 @@ def bench_tiles(spark, sf_dir):
 
 
 def bench_dedup(spark, sf_dir):
+    """Measures the PRODUCTION dedup paths (xxhash64 LSH family), not
+    the md5 oracle variants the correctness queries use."""
     import __spark_entry__ as E
+    from spark_geo import text as TX
     _force(E.q_dedup_exact(spark, sf_dir))
-    _force(E.q_minhash_candidates(spark, sf_dir))
+    d = E._load(spark, sf_dir, "documents").select("doc_id", "text")
+    _force(TX.lsh_candidate_pairs(d, n_hashes=32, bands=4)
+           .orderBy("da", "db"))
 
 
 def bench_ann(spark, sf_dir):

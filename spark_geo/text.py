@@ -64,33 +64,56 @@ def _shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
 
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", n_hashes: int = 32,
-                       shingle_size: int | None = None) -> DataFrame:
-    """MinHash signature columns h0..h{n-1} via seeded xxhash64 over the
-    distinct token set (shingle -> minhash step of the LSH dedup).
-    ``shingle_size=n`` switches the element set from single tokens to
-    word n-gram shingles.  One shuffle (groupBy id) with partial min
-    combine."""
+                       shingle_size: int | None = None,
+                       hash_mode: str = "xxhash64") -> DataFrame:
+    """MinHash signature columns h0..h{n-1} via a seeded hash family
+    over the distinct token set (shingle -> minhash step of the LSH
+    dedup).  ``shingle_size=n`` switches the element set from single
+    tokens to word n-gram shingles.  One shuffle (groupBy id) with
+    partial min combine.
+
+    ``hash_mode='xxhash64'`` (default) is the fast JVM path;
+    ``hash_mode='md5'`` uses seeded md5 hex strings (min over
+    fixed-length hex = numeric order) — slower but engine-portable, so
+    the whole pipeline is verifiable verbatim in any ANSI SQL engine."""
     toks = _shingles(df, id_col, text_col, shingle_size) \
         if shingle_size else _tokens(df, id_col, text_col)
-    aggs = [F.min(F.xxhash64(F.col("tok"), F.lit(i))).alias(f"h{i}")
-            for i in range(n_hashes)]
+    if hash_mode == "md5":
+        aggs = [F.min(F.md5(F.concat_ws(":", F.col("tok"), F.lit(str(i)))))
+                .alias(f"h{i}") for i in range(n_hashes)]
+    else:
+        aggs = [F.min(F.xxhash64(F.col("tok"), F.lit(i))).alias(f"h{i}")
+                for i in range(n_hashes)]
     return toks.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n_hashes: int = 32,
                         bands: int = 4,
-                        shingle_size: int | None = None) -> DataFrame:
+                        shingle_size: int | None = None,
+                        hash_mode: str = "xxhash64") -> DataFrame:
     """Banded LSH: hash each band of the signature to a bucket,
     self-join on (band, bucket) -> candidate pairs (da < db).
-    P(candidate) = 1 - (1 - J^(n/bands))^bands."""
+    P(candidate) = 1 - (1 - J^(n/bands))^bands.
+
+    With ``hash_mode='md5'`` the bucket key is the concatenated band
+    slice itself (portable; join on strings); default buckets are
+    xxhash64 of the slice (compact; join on longs)."""
     assert n_hashes % bands == 0
     r = n_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_size)
-    band_structs = [F.struct(F.lit(b).alias("band"),
-                             F.xxhash64(*[F.col(f"h{b * r + k}") for k in range(r)])
-                             .alias("bucket"))
-                    for b in range(bands)]
+    sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_size,
+                             hash_mode=hash_mode)
+    if hash_mode == "md5":
+        band_structs = [F.struct(F.lit(b).alias("band"),
+                                 F.concat_ws("|", *[F.col(f"h{b * r + k}")
+                                                    for k in range(r)])
+                                 .alias("bucket"))
+                        for b in range(bands)]
+    else:
+        band_structs = [F.struct(F.lit(b).alias("band"),
+                                 F.xxhash64(*[F.col(f"h{b * r + k}") for k in range(r)])
+                                 .alias("bucket"))
+                        for b in range(bands)]
     stacked = (sig.select(F.col(id_col), F.explode(F.array(*band_structs)).alias("bb"))
                .select(id_col, "bb.band", "bb.bucket"))
     x, y = stacked.alias("x"), stacked.alias("y")
@@ -138,19 +161,33 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id",
-            text_col: str = "text") -> DataFrame:
-    """64-bit SimHash fingerprint, fully JVM-side: per-token xxhash64,
+            text_col: str = "text", hash_mode: str = "xxhash64") -> DataFrame:
+    """64-bit SimHash fingerprint, fully JVM-side: per-token hash,
     per-bit ±1 sign votes as 64 map-side-combinable SUM aggregates
     (constant per-group state — no collect_list, no unbounded arrays),
     bits packed with shiftleft/bitwise-or.  Near-dup distance =
-    hamming(simhash_a, simhash_b) via bit_count(a ^ b)."""
+    hamming(simhash_a, simhash_b) via bit_count(a ^ b).
+
+    ``hash_mode='md5'`` derives the 64 bits from the first 16 hex
+    digits of md5(token) (bit b = nibble b//4 from the right, bit b%4)
+    — engine-portable for SQL-oracle verification; default xxhash64 is
+    the fast path."""
     toks = (df.select(id_col, F.explode(
         F.split(F.trim(F.col(text_col)), TOKEN_PATTERN)).alias("tok"))
         .where(F.col("tok") != ""))
-    h = F.xxhash64("tok")
-    aggs = [F.sum(F.shiftright(h, b).bitwiseAND(F.lit(1)).cast("long")
-                  * 2 - 1).alias(f"_v{b}")
-            for b in range(64)]
+    if hash_mode == "md5":
+        toks = toks.withColumn("_h16", F.substring(F.md5("tok"), 1, 16))
+
+        def _bit(b):
+            digit = (F.instr(F.lit("0123456789abcdef"),
+                             F.substring("_h16", 16 - b // 4, 1)) - 1)
+            return F.shiftright(digit, b % 4).bitwiseAND(F.lit(1)).cast("long")
+        aggs = [F.sum(_bit(b) * 2 - 1).alias(f"_v{b}") for b in range(64)]
+    else:
+        h = F.xxhash64("tok")
+        aggs = [F.sum(F.shiftright(h, b).bitwiseAND(F.lit(1)).cast("long")
+                      * 2 - 1).alias(f"_v{b}")
+                for b in range(64)]
     votes = toks.groupBy(id_col).agg(*aggs)
     packed = F.lit(0).cast("long")
     for b in range(63, -1, -1):
@@ -161,11 +198,12 @@ def simhash(df: DataFrame, id_col: str = "doc_id",
 
 
 def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
-                      text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+                      text_col: str = "text", max_hamming: int = 3,
+                      hash_mode: str = "xxhash64") -> DataFrame:
     """SimHash near-dup pairs by 4-block banding (any identical 16-bit
     block -> candidate; exact for hamming <= 3 by pigeonhole) + exact
     hamming verify with bit_count."""
-    sh = simhash(df, id_col, text_col)
+    sh = simhash(df, id_col, text_col, hash_mode=hash_mode)
     blocks = [F.struct(F.lit(k).alias("blk"),
                        F.shiftright("simhash", 16 * k)
                        .bitwiseAND(F.lit(0xFFFF)).alias("val"))
@@ -240,14 +278,49 @@ def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
     return df.select(id_col, _fp(F.col(text_col)).alias("fingerprints"))
 
 
+def winnow_fingerprints_sql(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text", k: int = 5,
+                            window: int = 4) -> DataFrame:
+    """Winnowing fingerprints as pure Catalyst expressions: md5 hashes
+    of character k-grams (the winnowing guarantee — any shared
+    substring of length >= k + window - 1 yields a shared fingerprint —
+    holds for ANY k-gram hash family, rolling or not), sliding-window
+    min over the fixed-length hex strings, distinct set.
+
+    Engine-portable (md5/substring/min are ANSI-common), so the full
+    pipeline can be SQL-oracle-verified; ``winnow_fingerprints`` is the
+    faster Arrow/NumPy rolling-hash variant of the same operator.
+    Output: (id, fingerprints array<string>)."""
+    t = F.col(text_col)
+    grams = F.when(
+        F.length(t) >= k,
+        F.expr(f"transform(sequence(1, length({text_col}) - {k} + 1),"
+               f" j -> md5(substring({text_col}, j, {k})))")
+    ).otherwise(F.array().cast("array<string>"))
+    d = df.select(id_col, grams.alias("_g"))
+    n = F.size("_g")
+    mins = F.when(
+        n >= window,
+        F.expr(f"transform(sequence(1, size(_g) - {window} + 1),"
+               f" j -> array_min(slice(_g, j, {window})))")
+    ).otherwise(F.when(n > 0, F.array(F.array_min("_g")))
+                .otherwise(F.array().cast("array<string>")))
+    return d.select(id_col, F.array_distinct(mins).alias("fingerprints"))
+
+
 def winnow_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text", k: int = 5,
                            window: int = 4,
-                           min_shared: int = 2) -> DataFrame:
+                           min_shared: int = 2,
+                           hash_mode: str = "rolling") -> DataFrame:
     """Local-similarity candidate pairs: docs sharing >= min_shared
     winnowed fingerprints.  Equi-join on the fingerprint hash — the
-    same bucketed shape as LSH banding, never all-pairs."""
-    fp = winnow_fingerprints(df, id_col, text_col, k, window)
+    same bucketed shape as LSH banding, never all-pairs.
+    ``hash_mode='md5'`` uses the SQL-portable Catalyst fingerprints."""
+    if hash_mode == "md5":
+        fp = winnow_fingerprints_sql(df, id_col, text_col, k, window)
+    else:
+        fp = winnow_fingerprints(df, id_col, text_col, k, window)
     flat = fp.select(id_col, F.explode("fingerprints").alias("fp"))
     a = flat.select(F.col(id_col).alias("da"), "fp")
     b = flat.select(F.col(id_col).alias("db"), "fp")

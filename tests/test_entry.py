@@ -34,10 +34,9 @@ def test_every_query_has_oracle_or_reason(spark):
     qs = E.queries()
     oracles = E.oracle_sql()
     assert set(oracles) <= set(qs)
-    missing = set(qs) - set(oracles)
-    # documented rows-only ops (non-SQL-expressible)
-    assert missing == {"minhash_candidates", "simhash_dups", "lang_id",
-                       "winnow_dups"}
+    # round 3: every query has a DuckDB oracle (the md5 hash family made
+    # the minhash/simhash/winnow/lang_id pipelines engine-portable)
+    assert set(qs) == set(oracles)
 
 
 @pytest.mark.parametrize("name", sorted(E.oracle_sql().keys()))
