@@ -19,10 +19,45 @@ Operators:
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
+logger = logging.getLogger("spark_geo.text")
+
 TOKEN_PATTERN = "\\s+"
+
+
+def _drop_hot_buckets(stacked: DataFrame, keys: list[str], max_bucket: int,
+                      skew_stats: dict | None, op: str) -> DataFrame:
+    """Remove members of degenerate LSH buckets before the self-join.
+
+    A bucket with n members emits n^2/2 candidate pairs — at 100 TB a
+    single boilerplate-collision bucket with millions of docs IS the
+    failure mode of banded LSH (the blowup is the pair OUTPUT, so AQE
+    skew-splitting of the join shuffle cannot help).  The hot-key scan
+    is one map-side-combinable count aggregate; the hot list itself is
+    tiny (one row per degenerate bucket) so it collects to the driver
+    and anti-joins back as a broadcast.  Dropped buckets are logged and
+    reported via ``skew_stats`` — a drop is visible, never silent."""
+    sizes = stacked.groupBy(*keys).agg(F.count(F.lit(1)).alias("_bsz"))
+    hot = sizes.where(F.col("_bsz") > max_bucket)
+    hot_rows = hot.collect()
+    if skew_stats is not None:
+        skew_stats["hot_buckets"] = len(hot_rows)
+        skew_stats["dropped_members"] = int(sum(r["_bsz"] for r in hot_rows))
+        skew_stats["max_bucket"] = max_bucket
+    if not hot_rows:
+        return stacked
+    logger.warning(
+        "%s: dropping %d hot bucket(s) (> %d members, %d members total) "
+        "from candidate generation", op, len(hot_rows), max_bucket,
+        sum(r["_bsz"] for r in hot_rows))
+    hot_keys = stacked.sparkSession.createDataFrame(
+        [tuple(r[k] for k in keys) for r in hot_rows],
+        schema=stacked.select(*keys).schema)
+    return stacked.join(F.broadcast(hot_keys), keys, "left_anti")
 
 
 def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -91,14 +126,22 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n_hashes: int = 32,
                         bands: int = 4,
                         shingle_size: int | None = None,
-                        hash_mode: str = "xxhash64") -> DataFrame:
+                        hash_mode: str = "xxhash64",
+                        max_bucket: int | None = None,
+                        skew_stats: dict | None = None) -> DataFrame:
     """Banded LSH: hash each band of the signature to a bucket,
     self-join on (band, bucket) -> candidate pairs (da < db).
     P(candidate) = 1 - (1 - J^(n/bands))^bands.
 
     With ``hash_mode='md5'`` the bucket key is the concatenated band
     slice itself (portable; join on strings); default buckets are
-    xxhash64 of the slice (compact; join on longs)."""
+    xxhash64 of the slice (compact; join on longs).
+
+    ``max_bucket`` caps bucket membership: members of hotter buckets
+    are dropped from candidate generation (logged + ``skew_stats``) —
+    the skew guard a 100 TB corpus needs.  Pre-collapse exact
+    duplicates first (``near_dup_clusters`` does) so legitimate
+    duplicate storms never hit the cap."""
     assert n_hashes % bands == 0
     r = n_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_size,
@@ -116,6 +159,9 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
                         for b in range(bands)]
     stacked = (sig.select(F.col(id_col), F.explode(F.array(*band_structs)).alias("bb"))
                .select(id_col, "bb.band", "bb.bucket"))
+    if max_bucket:
+        stacked = _drop_hot_buckets(stacked, ["band", "bucket"], max_bucket,
+                                    skew_stats, "lsh_candidate_pairs")
     x, y = stacked.alias("x"), stacked.alias("y")
     return (x.join(y, (F.col("x.band") == F.col("y.band"))
                    & (F.col("x.bucket") == F.col("y.bucket"))
@@ -199,10 +245,14 @@ def simhash(df: DataFrame, id_col: str = "doc_id",
 
 def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", max_hamming: int = 3,
-                      hash_mode: str = "xxhash64") -> DataFrame:
+                      hash_mode: str = "xxhash64",
+                      max_bucket: int | None = None,
+                      skew_stats: dict | None = None) -> DataFrame:
     """SimHash near-dup pairs by 4-block banding (any identical 16-bit
     block -> candidate; exact for hamming <= 3 by pigeonhole) + exact
-    hamming verify with bit_count."""
+    hamming verify with bit_count.  ``max_bucket`` drops degenerate
+    blocks (e.g. millions of near-empty docs voting the same bits) from
+    candidate generation, logged + reported via ``skew_stats``."""
     sh = simhash(df, id_col, text_col, hash_mode=hash_mode)
     blocks = [F.struct(F.lit(k).alias("blk"),
                        F.shiftright("simhash", 16 * k)
@@ -211,6 +261,9 @@ def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
     stacked = sh.select(id_col, "simhash",
                         F.explode(F.array(*blocks)).alias("bb")) \
         .select(id_col, "simhash", "bb.blk", "bb.val")
+    if max_bucket:
+        stacked = _drop_hot_buckets(stacked, ["blk", "val"], max_bucket,
+                                    skew_stats, "simhash_near_dups")
     x, y = stacked.alias("x"), stacked.alias("y")
     cand = (x.join(y, (F.col("x.blk") == F.col("y.blk"))
                    & (F.col("x.val") == F.col("y.val"))
@@ -312,16 +365,23 @@ def winnow_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text", k: int = 5,
                            window: int = 4,
                            min_shared: int = 2,
-                           hash_mode: str = "rolling") -> DataFrame:
+                           hash_mode: str = "rolling",
+                           max_bucket: int | None = None,
+                           skew_stats: dict | None = None) -> DataFrame:
     """Local-similarity candidate pairs: docs sharing >= min_shared
     winnowed fingerprints.  Equi-join on the fingerprint hash — the
     same bucketed shape as LSH banding, never all-pairs.
-    ``hash_mode='md5'`` uses the SQL-portable Catalyst fingerprints."""
+    ``hash_mode='md5'`` uses the SQL-portable Catalyst fingerprints.
+    ``max_bucket`` drops fingerprints shared by more docs than the cap
+    (boilerplate substrings), logged + reported via ``skew_stats``."""
     if hash_mode == "md5":
         fp = winnow_fingerprints_sql(df, id_col, text_col, k, window)
     else:
         fp = winnow_fingerprints(df, id_col, text_col, k, window)
     flat = fp.select(id_col, F.explode("fingerprints").alias("fp"))
+    if max_bucket:
+        flat = _drop_hot_buckets(flat, ["fp"], max_bucket,
+                                 skew_stats, "winnow_candidate_pairs")
     a = flat.select(F.col(id_col).alias("da"), "fp")
     b = flat.select(F.col(id_col).alias("db"), "fp")
     return (a.join(b, ["fp"]).where(F.col("da") < F.col("db"))
@@ -373,18 +433,40 @@ def connected_components(pairs: DataFrame, src: str = "da", dst: str = "db",
 
 def near_dup_clusters(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", threshold: float = 0.9,
-                      n_hashes: int = 32, bands: int = 4) -> DataFrame:
-    """End-to-end near-dup resolution: LSH candidates -> exact Jaccard
-    verify (linear in candidates) -> connected components -> keeper =
-    min id per cluster.  Returns (doc_id, keeper); singleton docs keep
-    themselves."""
-    cand = lsh_candidate_pairs(df, id_col, text_col, n_hashes, bands)
-    verified = jaccard_pairs(df, id_col, text_col, threshold, candidates=cand)
+                      n_hashes: int = 32, bands: int = 4,
+                      max_bucket: int | None = None,
+                      skew_stats: dict | None = None) -> DataFrame:
+    """End-to-end near-dup resolution: exact-dup pre-collapse -> LSH
+    candidates over unique texts -> exact Jaccard verify (linear in
+    candidates) -> connected components -> keeper = min id per cluster.
+    Returns (doc_id, keeper); singleton docs keep themselves.
+
+    The pre-collapse (group byte-identical texts, min id represents)
+    is semantics-preserving — identical texts are Jaccard-1 pairs, so
+    they always verify and always share a cluster — and it removes the
+    most common LSH skew bomb: a duplicate storm (millions of copies of
+    one page) contributes ONE representative to every bucket instead of
+    an n^2 pair blowup.  ``max_bucket`` additionally caps residual
+    hot buckets among unique texts (distinct boilerplate variants)."""
+    h = F.sha2(F.col(text_col), 256)
+    rep = (df.select(F.col(id_col), F.col(text_col), h.alias("_ch"))
+           .groupBy("_ch")  # group/join keys are the hash, never raw text
+           .agg(F.min(id_col).alias("_rep"),
+                F.min_by(text_col, F.col(id_col)).alias(text_col)))
+    rep_docs = rep.select(F.col("_rep").alias(id_col), F.col(text_col))
+    cand = lsh_candidate_pairs(rep_docs, id_col, text_col, n_hashes, bands,
+                               max_bucket=max_bucket, skew_stats=skew_stats)
+    verified = jaccard_pairs(rep_docs, id_col, text_col, threshold,
+                             candidates=cand)
     comp = connected_components(verified.select("da", "db"))
-    return (df.select(id_col)
-            .join(comp.withColumnRenamed("node", id_col), id_col, "left")
+    # expand back: doc -> its exact-dup representative -> rep's cluster
+    doc_rep = (df.select(F.col(id_col), h.alias("_ch"))
+               .join(rep.select("_ch", "_rep"), "_ch")
+               .select(id_col, "_rep"))
+    return (doc_rep
+            .join(comp.withColumnRenamed("node", "_rep"), "_rep", "left")
             .select(id_col,
-                    F.coalesce("component", F.col(id_col)).alias("keeper")))
+                    F.coalesce("component", F.col("_rep")).alias("keeper")))
 
 
 # BPE-ish pre-tokenizer: letter runs | digits | punctuation runs —

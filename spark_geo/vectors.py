@@ -152,16 +152,39 @@ def ivf_probe_cells(df: DataFrame, centroids: list[list[float]],
 def ivf_topk(probes: DataFrame, corpus: DataFrame,
              centroids: list[list[float]], k: int = 5, n_probe: int = 2, *,
              probe_id: str = "probe_id", corpus_id: str = "neighbor_id",
-             vec_col: str = "embedding") -> DataFrame:
+             vec_col: str = "embedding",
+             max_cell: int | None = None,
+             skew_stats: dict | None = None) -> DataFrame:
     """IVF ANN search: corpus assigned to its nearest cell ONCE
     (write partitioned by cell for reuse); each probe explodes to its
     ``n_probe`` nearest cells and equi-joins the matching inverted
     lists; exact cosine refine + window top-k.  Same coarse-key +
     exact-refine shape as the cell spatial join — the join is a plain
-    equi-join Catalyst can broadcast/skew-split."""
+    equi-join Catalyst can broadcast/skew-split.
+
+    AQE skew-splitting bounds the join SHUFFLE but not the candidate
+    OUTPUT of a degenerate cell (one centroid capturing a huge
+    duplicate-embedding mass): ``max_cell`` truncates each inverted
+    list to its first ``max_cell`` members (deterministic by id) —
+    the standard IVF list-truncation recall trade, logged + reported
+    via ``skew_stats`` so the drop is visible, never silent."""
     c = ivf_assign(corpus.select(F.col(corpus_id), F.col(vec_col)),
                    centroids, vec_col=vec_col, out_col="_cell") \
         .withColumnRenamed(vec_col, "_cv")
+    if max_cell:
+        wcell = Window.partitionBy("_cell").orderBy(F.col(corpus_id).asc())
+        ranked = c.withColumn("_rk", F.row_number().over(wcell))
+        if skew_stats is not None:
+            dropped = ranked.where(F.col("_rk") > max_cell) \
+                .groupBy().count().collect()[0][0]
+            skew_stats["dropped_members"] = int(dropped)
+            skew_stats["max_cell"] = max_cell
+            if dropped:
+                import logging
+                logging.getLogger("spark_geo.vectors").warning(
+                    "ivf_topk: truncated %d member(s) beyond %d per cell",
+                    dropped, max_cell)
+        c = ranked.where(F.col("_rk") <= max_cell).drop("_rk")
     p = (ivf_probe_cells(probes.select(F.col(probe_id), F.col(vec_col)),
                          centroids, n_probe=n_probe, vec_col=vec_col)
          .withColumnRenamed(vec_col, "_pv")

@@ -242,3 +242,95 @@ def test_near_dup_clusters_transitive(spark):
                                          n_hashes=16, bands=8).collect()}
     assert out[0] == 0 and out[1] == 0 and out[2] == 0
     assert out[3] == 3
+
+
+# ---------------------------------------------------------------------------
+# round 3: skew guards — duplicate storms and degenerate buckets
+# ---------------------------------------------------------------------------
+
+def test_near_dup_clusters_duplicate_storm(spark):
+    """A duplicate storm (thousands of identical docs) must pre-collapse
+    to ONE representative before LSH — bounded candidates, full-corpus
+    keeper map unchanged."""
+    n = 5000
+    storm = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate page body repeated everywhere").alias("text"))
+    out = TX.near_dup_clusters(storm).collect()
+    assert len(out) == n
+    assert all(r["keeper"] == 0 for r in out)
+    # candidate stage saw one rep -> zero pairs
+    reps = storm.groupBy("text").agg(F.min("doc_id").alias("doc_id")) \
+        .join(storm, ["doc_id", "text"])
+    assert TX.lsh_candidate_pairs(reps).count() == 0
+
+
+def test_near_dup_clusters_mixed_storm_semantics(spark, docs):
+    """Pre-collapse is semantics-preserving: keeper map on a mixed
+    corpus equals the round-2 no-collapse pipeline."""
+    got = {r["doc_id"]: r["keeper"]
+           for r in TX.near_dup_clusters(docs, threshold=0.7,
+                                         n_hashes=32, bands=8).collect()}
+    # 0,1 exact dups; 2 near-dup of 0 at J>=0.7 -> cluster {0,1,2}
+    assert got[0] == got[1] == got[2] == 0
+    assert got[5] == 5 and got[3] == 3
+
+
+def test_lsh_max_bucket_cap(spark):
+    """60 distinct docs engineered into one shared bucket: the cap
+    drops the bucket, reports it, and bounds the candidate count."""
+    rows = [(i, "shared common tokens everywhere alpha beta gamma delta "
+             + f"unique{i}") for i in range(60)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    stats = {}
+    cand = TX.lsh_candidate_pairs(d, n_hashes=32, bands=4,
+                                  max_bucket=10, skew_stats=stats)
+    n_capped = cand.count()
+    uncapped = TX.lsh_candidate_pairs(d, n_hashes=32, bands=4).count()
+    assert stats["hot_buckets"] >= 1
+    assert stats["dropped_members"] > 0
+    assert n_capped < uncapped
+    # residual pairs bounded by cap^2 * bands
+    assert n_capped <= 10 * 10 * 4
+
+
+def test_simhash_max_bucket_cap(spark):
+    rows = [(i, "identical vote mass " + "filler " * 30) for i in range(40)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    stats = {}
+    nd = TX.simhash_near_dups(d, max_hamming=3, max_bucket=5,
+                              skew_stats=stats)
+    assert nd.count() == 0  # the only bucket was hot and dropped
+    assert stats["hot_buckets"] >= 1 and stats["dropped_members"] == 40 * 4
+
+
+def test_winnow_max_bucket_cap(spark):
+    rows = [(i, "boilerplate header shared by all documents " + str(i))
+            for i in range(30)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    stats = {}
+    capped = TX.winnow_candidate_pairs(d, k=8, window=4, min_shared=1,
+                                       max_bucket=5, skew_stats=stats)
+    uncapped = TX.winnow_candidate_pairs(d, k=8, window=4, min_shared=1)
+    assert stats["hot_buckets"] >= 1
+    assert capped.count() < uncapped.count()
+
+
+def test_ivf_max_cell_truncation(spark):
+    """100 identical corpus vectors collapse into one IVF cell; the cap
+    truncates the inverted list deterministically and reports it."""
+    vec = [1.0, 0.0, 0.5, 0.25]
+    corpus = spark.createDataFrame(
+        [(i, vec) for i in range(100)],
+        "neighbor_id long, embedding array<double>")
+    probes = spark.createDataFrame(
+        [(0, vec)], "probe_id long, embedding array<double>")
+    cents = [vec, [0.0, 1.0, 0.0, 0.0]]
+    stats = {}
+    topk = VX.ivf_topk(probes, corpus, cents, k=5, n_probe=1,
+                       max_cell=10, skew_stats=stats)
+    rows = topk.collect()
+    assert stats["dropped_members"] == 90
+    assert len(rows) == 5
+    # deterministic truncation keeps the lowest ids
+    assert {r["neighbor_id"] for r in rows} <= set(range(1, 11))
