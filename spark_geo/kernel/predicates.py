@@ -562,3 +562,166 @@ def dwithin(a, b, distance: float) -> bool:
     if _bbox_disjoint(a, b, pad=distance):
         return False
     return bool(M.distance(a, b) <= distance)
+
+
+# ---------------------------------------------------------------------------
+# many-vs-one batch predicates (cell-join general refine)
+# ---------------------------------------------------------------------------
+# Exact vectorized `intersects`/`dwithin` of MANY decoded left
+# geometries against ONE right geometry.  The decomposition is exact in
+# 2D because for two non-crossing segment sets the minimum distance is
+# always attained at a vertex of one set against a segment of the
+# other, and two geometries with non-touching boundaries are either
+# disjoint or one is entirely inside the other (so a single vertex
+# witnesses containment):
+#
+#   intersects(a, g) = any a-vertex within EPS of g          (A)
+#                    | any a-segment touches any g-segment   (B)
+#                    | any g-vertex strictly inside poly(a)  (C)
+#   dwithin(a, g, d) = intersects(a, g)
+#                    | min a-verts -> g        <= d          (D)
+#                    | min g-verts -> a-segs   <= d          (E)
+#
+# (A)/(D) are one points_to_geom_dist call over the owner-sorted vertex
+# stack; (B) is the chunked _seg_cross_matrix with an owner any-reduce;
+# (C) is an even-odd ray cast of g's vertices against the owner-sorted
+# stack of polygon-ring segments (bincount parity per owner — holes and
+# multi-parts compose by XOR exactly as in _ring_even_odd); (E) is a
+# blocked distance matrix with minimum.reduceat per owner.  No per-pair
+# Python anywhere — the loops below run per OWNER-BLOCK (<= 65536
+# segments), not per candidate pair.
+
+
+def prepare_batch_lefts(geoms: list) -> dict:
+    """Per-geometry vertex/segment/polygon-ring-segment arrays, computed
+    ONCE per Arrow batch and reused across every right-group a left
+    geometry is a candidate of."""
+    verts, segs, psegs, bounds = [], [], [], []
+    for g in geoms:
+        if g is None or g.is_empty:
+            verts.append(np.empty((0, 2)))
+            segs.append(np.empty((0, 4)))
+            psegs.append(np.empty((0, 4)))
+            bounds.append((np.nan,) * 4)
+            continue
+        verts.append(M.vertices(g))
+        segs.append(M.segments(g))
+        pr = [_ring_segs(r) for p in _iter_polygons(g)
+              for r in p.rings if len(r) >= 4]
+        psegs.append(np.vstack(pr) if pr else np.empty((0, 4)))
+        bounds.append(g.bounds())
+    return {"verts": verts, "segs": segs, "psegs": psegs,
+            "bounds": np.asarray(bounds, dtype=np.float64)}
+
+
+def _owner_stack(arrs: list, sel: np.ndarray):
+    """Stack per-owner arrays for the selected owners -> (stacked,
+    owner_of_item, counts).  Owner ids are positions in ``sel``."""
+    chosen = [arrs[i] for i in sel]
+    counts = np.array([len(a) for a in chosen], dtype=np.int64)
+    if counts.sum() == 0:
+        return np.empty((0, chosen[0].shape[1] if chosen else 2)), \
+            np.empty(0, np.int64), counts
+    stacked = np.vstack([a for a in chosen if len(a)])
+    owners = np.repeat(np.arange(len(sel), dtype=np.int64), counts)
+    return stacked, owners, counts
+
+
+def _seg_blocks(counts: np.ndarray, cap: int = 65536):
+    """Contiguous owner ranges whose item totals stay <= cap (each with
+    >= 1 owner) -> yields (owner_lo, owner_hi, item_lo, item_hi)."""
+    n = len(counts)
+    i, pos = 0, 0
+    while i < n:
+        j, tot, p0 = i, 0, pos
+        while j < n and (tot == 0 or tot + counts[j] <= cap):
+            tot += counts[j]
+            pos += counts[j]
+            j += 1
+        yield i, j, p0, pos
+        i = j
+
+
+def batch_predicate_one(prep: dict, sel: np.ndarray, g, predicate: str,
+                        distance: float | None = None) -> np.ndarray | None:
+    """Vectorized predicate of the selected prepared lefts against one
+    right geometry -> bool (len(sel),), or None when ``predicate`` has
+    no batch path (caller falls back to the exact scalar kernels)."""
+    if predicate not in ("intersects", "dwithin"):
+        return None
+    n = len(sel)
+    out = np.zeros(n, dtype=bool)
+    if g is None or g.is_empty or n == 0:
+        return out
+    pad = float(distance) if predicate == "dwithin" else 0.0
+
+    # (A)/(D): owner-sorted vertex stack -> one distance call
+    v, vowner, vcounts = _owner_stack(prep["verts"], sel)
+    if len(v):
+        d = M.points_to_geom_dist(v[:, 0], v[:, 1], g)
+        hit = d <= (_EPS if predicate == "intersects" else pad)
+        out |= np.bincount(vowner[hit], minlength=n).astype(bool)
+
+    gsegs = M.segments(g)
+    s, sowner, scounts = _owner_stack(prep["segs"], sel)
+
+    # (B): boundary contact, chunked seg-cross matrix
+    if len(s) and len(gsegs) and not out.all():
+        step = max(1, 65536 // max(len(gsegs), 1))
+        for lo in range(0, len(s), step):
+            touch, _ = _seg_cross_matrix(s[lo:lo + step], gsegs)
+            th = touch.any(axis=1)
+            if th.any():
+                out |= np.bincount(sowner[lo:lo + step][th],
+                                   minlength=n).astype(bool)
+
+    # (C): any g-vertex inside a polygonal left (even-odd parity over
+    # the owner-sorted polygon-ring segment stack)
+    p, powner, pcounts = _owner_stack(prep["psegs"], sel)
+    gv = M.vertices(g)
+    if len(p) and len(gv) and not out.all():
+        x1, y1, x2, y2 = p[:, 0], p[:, 1], p[:, 2], p[:, 3]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for k in range(len(gv)):
+                gx, gy = gv[k, 0], gv[k, 1]
+                cond = (y1 > gy) != (y2 > gy)
+                xint = x1 + (gy - y1) * (x2 - x1) / (y2 - y1)
+                cross = cond & (gx < xint)
+                par = np.bincount(powner[cross], minlength=n) % 2
+                out |= par.astype(bool)
+                if out.all():
+                    break
+
+    # (E): g-vertices -> left segments, blocked per-owner min distance.
+    # Also runs for `intersects` when g has no segments (point /
+    # multipoint right): a g-vertex on a left segment's INTERIOR is
+    # invisible to (A) (left vertices far), (B) (no g segments) and
+    # (C) (on-boundary ray casts are unreliable), so the EPS distance
+    # test is the exact witness.
+    need_e = predicate == "dwithin" or (predicate == "intersects"
+                                        and len(gsegs) == 0)
+    thresh = pad if predicate == "dwithin" else _EPS
+    if need_e and len(s) and len(gv) and not out.all():
+        for olo, ohi, ilo, ihi in _seg_blocks(scounts):
+            blk = s[ilo:ihi]
+            if not len(blk):
+                continue
+            bcounts = scounts[olo:ohi]
+            starts = np.cumsum(bcounts) - bcounts
+            nonempty = bcounts > 0
+            x1, y1 = blk[:, 0][None, :], blk[:, 1][None, :]
+            dx = blk[:, 2][None, :] - x1
+            dy = blk[:, 3][None, :] - y1
+            len2 = dx * dx + dy * dy
+            safe = np.where(len2 == 0, 1.0, len2)
+            px, py = gv[:, 0][:, None], gv[:, 1][:, None]
+            t = np.clip(((px - x1) * dx + (py - y1) * dy) / safe, 0.0, 1.0)
+            t = np.where(len2 == 0, 0.0, t)
+            dist2 = (px - (x1 + t * dx)) ** 2 + (py - (y1 + t * dy)) ** 2
+            dmin = dist2.min(axis=0)  # min over g's vertices, per segment
+            omin = np.minimum.reduceat(dmin, np.minimum(starts, len(dmin) - 1))
+            ok = nonempty & (omin <= thresh * thresh)
+            if ok.any():
+                idx = np.arange(olo, ohi)[ok]
+                out[idx] = True
+    return out

@@ -248,3 +248,56 @@ def test_is_valid_reason_multipolygon_with_empty_part():
         wkt.from_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"),
         island])
     assert U.is_valid_reason(bad) != "Valid Geometry"
+
+
+def test_batch_predicate_one_matches_scalar():
+    """Property: the many-vs-one batch kernel (cell-join refine path)
+    agrees with the exact scalar predicates on random mixed geometries
+    (points / lines / convex polys / holed polys), including None."""
+    import numpy as np
+    rng = np.random.default_rng(7)
+
+    def rand_geom(kind, cx, cy, s):
+        if kind == 0:
+            return Geom.point(cx, cy)
+        if kind == 1:
+            n = int(rng.integers(3, 6))
+            pts = np.column_stack([cx + rng.uniform(-s, s, n),
+                                   cy + rng.uniform(-s, s, n)])
+            return Geom.linestring(pts)
+        if kind == 2:
+            n = int(rng.integers(4, 8))
+            ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+            r = rng.uniform(0.3 * s, s, n)
+            pts = np.column_stack([cx + r * np.cos(ang), cy + r * np.sin(ang)])
+            return Geom.polygon(np.vstack([pts, pts[:1]]))
+        ang = np.linspace(0, 2 * np.pi, 9)
+        outer = np.column_stack([cx + s * np.cos(ang), cy + s * np.sin(ang)])
+        inner = np.column_stack([cx + 0.4 * s * np.cos(ang[::-1]),
+                                 cy + 0.4 * s * np.sin(ang[::-1])])
+        return Geom.polygon(outer, holes=[inner])
+
+    for rep in range(60):
+        nleft = int(rng.integers(1, 10))
+        lefts = [rand_geom(int(rng.integers(0, 4)), rng.uniform(-5, 5),
+                           rng.uniform(-5, 5), rng.uniform(0.3, 2.0))
+                 for _ in range(nleft)]
+        if rng.random() < 0.2:
+            lefts[0] = None
+        g = rand_geom(int(rng.integers(0, 4)), rng.uniform(-5, 5),
+                      rng.uniform(-5, 5), rng.uniform(0.3, 2.5))
+        prep = P.prepare_batch_lefts(lefts)
+        sel = np.arange(nleft)
+        for pred, dist in [("intersects", None), ("dwithin", 0.7),
+                           ("dwithin", 0.05)]:
+            got = P.batch_predicate_one(prep, sel, g, pred, dist)
+            for i, a in enumerate(lefts):
+                if a is None:
+                    want = False
+                elif pred == "intersects":
+                    want = P.intersects(a, g)
+                else:
+                    want = P.dwithin(a, g, dist)
+                assert bool(got[i]) == bool(want), (rep, i, pred, dist)
+    assert P.batch_predicate_one(P.prepare_batch_lefts([]), np.arange(0),
+                                 Geom.point(0, 0), "within") is None

@@ -179,3 +179,48 @@ def test_cell_nearest_all_equals_broadcast(spark):
     bp = sorted((r["left_id"], r["right_id"]) for r in b.collect())
     cp = sorted((r["left_id"], r["right_id"]) for r in c.collect())
     assert bp == cp
+
+
+def test_cell_join_geoms_equals_broadcast(spark):
+    """General (non-point) left geometries through the vectorized
+    many-vs-one refine: boxes, lines and points as WKB lefts vs a box
+    layer, intersects + dwithin, cell plan ≡ broadcast plan."""
+    lefts = []
+    for i in range(120):
+        cx = (i * 37 % 360) - 180.0
+        cy = (i * 53 % 170) - 85.0
+        kind = i % 3
+        if kind == 0:
+            g = Geom.box(cx, cy, cx + 8, cy + 6)
+        elif kind == 1:
+            g = Geom.linestring([(cx, cy), (cx + 10, cy + 4), (cx + 3, cy + 9)])
+        else:
+            g = Geom.point(cx, cy)
+        lefts.append((i, K_wkb.dumps(g)))
+    left = spark.createDataFrame(lefts, "left_id long, geom binary")
+    boxes = [(j, K_wkb.dumps(Geom.box(-180 + j * 30, -90 + (j % 6) * 30,
+                                      -180 + j * 30 + 25, -90 + (j % 6) * 30 + 25)))
+             for j in range(12)]
+    layer = spark.createDataFrame(boxes, "right_id long, geom binary")
+    for pred, dist in [("intersects", None), ("dwithin", 3.0)]:
+        b = SJ.broadcast_spatial_join(left, layer, predicate=pred,
+                                      distance=dist, right_id="right_id")
+        c = SJ.cell_spatial_join(left, layer, predicate=pred, distance=dist,
+                                 left_id="left_id", right_id="right_id",
+                                 res=4, left_is_points=False)
+        assert _pairs(b.select("left_id", "right_id")) == _pairs(c), pred
+
+
+def test_cell_join_geoms_scalar_fallback_predicate(spark):
+    """Predicates without a batch path (within) still refine exactly
+    via the scalar kernels over bbox survivors."""
+    lefts = [(0, K_wkb.dumps(Geom.box(1, 1, 3, 3))),     # inside
+             (1, K_wkb.dumps(Geom.box(-5, -5, 40, 40))),  # covers layer box
+             (2, K_wkb.dumps(Geom.box(50, 50, 60, 60)))]  # disjoint
+    left = spark.createDataFrame(lefts, "left_id long, geom binary")
+    layer = spark.createDataFrame([(7, K_wkb.dumps(Geom.box(0, 0, 30, 30)))],
+                                  "right_id long, geom binary")
+    c = SJ.cell_spatial_join(left, layer, predicate="within",
+                             left_id="left_id", right_id="right_id",
+                             res=4, left_is_points=False)
+    assert _pairs(c) == [(0, 7)]
