@@ -158,6 +158,78 @@ def st_from_wkt(s: pd.Series) -> pd.Series:
     return pd.Series(out, dtype=object)
 
 
+def _parser_with_modes(parse_one, kind: str):
+    """Factory for the three parser front-ends with the reference's
+    ``on_invalid`` modes (io.py:27-29, tested in reference
+    tests/test_io.py):
+
+    - 'ignore': malformed input -> NULL (the 10^12-row pipeline
+      default — a poisoned row must not kill the job)
+    - 'warn':   NULL + a per-batch executor-log warning with the count
+    - 'raise':  fail the task (fail-fast ingestion contract)
+
+    ``invalid_counter`` (an ``spark.sparkContext.accumulator(0)``)
+    collects the total invalid count across all tasks, the observable
+    a production ingest job alarms on.  Standard Spark accumulator
+    semantics apply: a plan that re-executes the projection (orderBy
+    range sampling, stage retries) may overcount — alarm on >0, don't
+    treat it as an exact tally."""
+    def make(col, on_invalid: str = "ignore", invalid_counter=None):
+        if on_invalid not in ("ignore", "warn", "raise"):
+            raise ValueError(
+                f"on_invalid must be ignore|warn|raise, got {on_invalid!r}")
+
+        @pandas_udf(T.BinaryType())
+        def _udf(s: pd.Series) -> pd.Series:
+            out, bad, first_err = [], 0, None
+            for v in s:
+                if v is None:
+                    out.append(None)
+                    continue
+                try:
+                    out.append(parse_one(v))
+                except (ValueError, KeyError, IndexError, TypeError,
+                        struct_error) as exc:
+                    if on_invalid == "raise":
+                        raise ValueError(
+                            f"invalid {kind} input: {v!r:.120}") from exc
+                    bad += 1
+                    if first_err is None:
+                        first_err = exc
+                    out.append(None)
+            if bad:
+                if invalid_counter is not None:
+                    invalid_counter.add(bad)
+                if on_invalid == "warn":
+                    import warnings
+                    warnings.warn(
+                        f"{bad} invalid {kind} geometr{'y' if bad == 1 else 'ies'}"
+                        f" -> NULL (first: {first_err})", stacklevel=2)
+            return pd.Series(out, dtype=object)
+        return _udf(col)
+    return make
+
+
+def _parse_wkt_one(v):
+    return K_wkb.dumps(K_wkt.from_wkt(v))
+
+
+def _parse_wkb_one(v):
+    b = _b(v)
+    K_wkb.loads(b)  # full structural validation; storage form IS WKB
+    return b
+
+
+def _parse_geojson_one(v):
+    from .kernel import geojson as K_gj
+    return K_wkb.dumps(K_gj.from_geojson(v))
+
+
+st_from_wkt_opt = _parser_with_modes(_parse_wkt_one, "WKT")
+st_from_wkb_opt = _parser_with_modes(_parse_wkb_one, "WKB")
+st_from_geojson_opt = _parser_with_modes(_parse_geojson_one, "GeoJSON")
+
+
 @pandas_udf(T.StringType())
 def st_as_wkt(b: pd.Series) -> pd.Series:
     """to_wkt, trim + precision 6 defaults (reference io.py:102-183)."""

@@ -155,15 +155,32 @@ def cell_nearest_all(left: DataFrame, right: DataFrame, *,
                      left_id: str = "left_id", right_id: str = "right_id",
                      res: int = 7, max_rings: int = 16,
                      shells_per_round: int = 4,
-                     max_distance: float | None = None) -> DataFrame:
-    """Distributed all-ties nearest for point✕point via cell rings.
+                     max_distance: float | None = None,
+                     assume_points: bool = True) -> DataFrame:
+    """Distributed all-ties nearest via cell ring expansion.
 
     Phase 1 probes ``shells_per_round`` ring shells per driver round
     (fewer Spark jobs on sparse data; slight over-probe is harmless —
     phase 2 recomputes the exact disk anyway).  Returns (left_id,
     right_id, distance); left rows with no right point within
     ``max_rings`` cells (or ``max_distance``) are omitted —
-    inner-join semantics like the reference."""
+    inner-join semantics like the reference.
+
+    ``assume_points=True`` is the vectorized point✕point plan (lon/lat
+    doubles only, Catalyst hypot).  ``assume_points=False`` accepts ANY
+    geometries on both sides (reference nearest_all, strtree.py:278):
+    each side explodes its st_cell_cover cells, ring/disk expansion
+    runs per left cover cell, the candidate shuffle carries only ids,
+    and geometries equi-join back for the exact kernel distance.  The
+    disk bound stays exact: a right geom within d0 of a left geom has
+    a point p within d0 of some left point q, so p's cover cell is
+    within ceil(d0/h) Chebyshev cells of q's."""
+    if not assume_points:
+        return _cell_nearest_all_geoms(
+            left, right, left_geom=left_geom, right_geom=right_geom,
+            left_id=left_id, right_id=right_id, res=res,
+            max_rings=max_rings, shells_per_round=shells_per_round,
+            max_distance=max_distance)
     h = 180.0 / (1 << res)  # cell height (deg); width is 2h
     if max_distance is not None:
         max_rings = min(max_rings, int(np.ceil(max_distance / h)) + 1)
@@ -230,6 +247,81 @@ def cell_nearest_all(left: DataFrame, right: DataFrame, *,
                    F.col("_d").alias("distance"))
            .dropDuplicates([left_id, right_id]))
     return out
+
+
+def _cell_nearest_all_geoms(left: DataFrame, right: DataFrame, *,
+                            left_geom: str, right_geom: str,
+                            left_id: str, right_id: str,
+                            res: int, max_rings: int,
+                            shells_per_round: int,
+                            max_distance: float | None) -> DataFrame:
+    """General-geometry ring expansion (see cell_nearest_all).  Cites
+    reference strtree.py:278-355 (nearest_all over arbitrary geometry
+    arrays) for the semantics; the physical plan is id-only candidate
+    shuffles + per-pair exact distance after a geometry equi-join."""
+    h = 180.0 / (1 << res)
+    if max_distance is not None:
+        max_rings = min(max_rings, int(np.ceil(max_distance / h)) + 1)
+
+    lg = left.select(F.col(left_id).alias("_lid"),
+                     F.col(left_geom).alias("_lgeom"))
+    rg = right.select(F.col(right_id).alias("_rid"),
+                      F.col(right_geom).alias("_rgeom"))
+    l_cov = (lg.select("_lid",
+                       F.explode(SG.st_cell_cover(F.col("_lgeom"), res))
+                       .alias("_lcell")).cache())
+    r_cells = (rg.select("_rid",
+                         F.explode(SG.st_cell_cover(F.col("_rgeom"), res))
+                         .alias("_cell")).cache())
+
+    def pair_dists(cells):
+        """(_lid, _cell) probes -> exact (_lid, _rid, _d) pairs."""
+        cand = (cells.join(r_cells, "_cell")
+                .select("_lid", "_rid").dropDuplicates(["_lid", "_rid"]))
+        p = cand.join(lg, "_lid").join(rg, "_rid")
+        d = p.withColumn("_d", SG.st_distance(F.col("_lgeom"),
+                                              F.col("_rgeom")))
+        if max_distance is not None:
+            d = d.where(F.col("_d") <= max_distance)
+        return d.select("_lid", "_rid", "_d").where(~F.isnan("_d"))
+
+    remaining = l_cov
+    seeds = None
+    k = 0
+    while k <= max_rings:
+        if remaining.limit(1).count() == 0:
+            break
+        k_hi = min(k + shells_per_round - 1, max_rings)
+        probes = (remaining.withColumn(
+            "_cell", F.explode(_shell_range_udf(F.col("_lcell"), k, k_hi)))
+            .select("_lid", "_cell").dropDuplicates(["_lid", "_cell"]))
+        k = k_hi + 1
+        d0 = (pair_dists(probes).groupBy("_lid")
+              .agg(F.min("_d").alias("_d0")).cache())
+        if d0.limit(1).count():
+            seeds = d0 if seeds is None else seeds.unionByName(d0)
+            remaining = remaining.join(d0.select("_lid"), "_lid", "left_anti")
+    if seeds is None:
+        schema = T.StructType([
+            T.StructField(left_id, left.schema[left_id].dataType),
+            T.StructField(right_id, right.schema[right_id].dataType),
+            T.StructField("distance", T.DoubleType())])
+        return left.sparkSession.createDataFrame([], schema)
+
+    # phase 2: exact disk of radius ceil(d0/h) around every left cover
+    # cell — a superset of anything within d0 of the left geometry
+    disk = (l_cov.join(seeds, "_lid")
+            .withColumn("_cell", F.explode(
+                _disk_udf(F.col("_lcell"), F.col("_d0"), res)))
+            .select("_lid", "_cell").dropDuplicates(["_lid", "_cell"]))
+    cand = pair_dists(disk)
+    w = Window.partitionBy("_lid")
+    return (cand.withColumn("_dmin", F.min("_d").over(w))
+            .where(F.col("_d") == F.col("_dmin"))
+            .select(F.col("_lid").alias(left_id),
+                    F.col("_rid").alias(right_id),
+                    F.col("_d").alias("distance"))
+            .dropDuplicates([left_id, right_id]))
 
 
 def _shell_range_udf(cell_col, k_lo: int, k_hi: int):

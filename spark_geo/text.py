@@ -19,7 +19,9 @@ Operators:
 
 from __future__ import annotations
 
+import json
 import logging
+import os
 
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
@@ -390,7 +392,8 @@ def winnow_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
 
 
 def connected_components(pairs: DataFrame, src: str = "da", dst: str = "db",
-                         max_iter: int = 20) -> DataFrame:
+                         max_iter: int = 20,
+                         checkpoint_dir: str | None = None) -> DataFrame:
     """Distributed connected components by min-label propagation:
     every node repeatedly adopts the minimum label in its neighborhood
     until fixpoint — O(component diameter) rounds (dedup clusters have
@@ -400,34 +403,84 @@ def connected_components(pairs: DataFrame, src: str = "da", dst: str = "db",
     Returns (node, component) with component = min node id reachable.
     This is the keeper-resolution step a near-dup pipeline needs after
     pair verification: transitive duplicates collapse to one cluster
-    even when A~B, B~C but A!~C."""
+    even when A~B, B~C but A!~C.
+
+    Lineage is truncated every round (an iterative algorithm otherwise
+    compounds its plan and blows planning memory).  Default mode uses
+    ``localCheckpoint`` — fast, but executor loss forces a full
+    recompute.  With ``checkpoint_dir`` the edges and each round's
+    labels persist as parquet + a JSON round marker, so a killed job
+    re-invoked with the same directory RESUMES from the last completed
+    round instead of restarting (mirrors pipeline.run_with_checkpoint's
+    manifest idiom); at 100 TB a multi-hour CC over billions of edges
+    needs exactly this."""
     e = pairs.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
-    # localCheckpoint truncates lineage each round — an iterative
-    # algorithm otherwise compounds its plan and blows planning memory
-    # (the same idiom a production job would use with a durable
-    # checkpoint dir for resumability)
-    edges = e.union(e.select(F.col("_d").alias("_s"), F.col("_s").alias("_d"))) \
-        .distinct().localCheckpoint(eager=True)
-    labels = (edges.select(F.col("_s").alias("node")).distinct()
-              .withColumn("component", F.col("node"))
-              .localCheckpoint(eager=True))
-    for _ in range(max_iter):
+    if checkpoint_dir is None:
+        edges = e.union(e.select(F.col("_d").alias("_s"),
+                                 F.col("_s").alias("_d"))) \
+            .distinct().localCheckpoint(eager=True)
+        labels = (edges.select(F.col("_s").alias("node")).distinct()
+                  .withColumn("component", F.col("node"))
+                  .localCheckpoint(eager=True))
+        persist = lambda df, _round: df.localCheckpoint(eager=True)  # noqa: E731
+        start, done = 0, lambda converged, _round: None
+    else:
+        spark = pairs.sparkSession
+        marker_path = os.path.join(checkpoint_dir, "cc_round.json")
+        edges_path = os.path.join(checkpoint_dir, "cc_edges")
+        if not os.path.exists(os.path.join(edges_path, "_SUCCESS")):
+            e.union(e.select(F.col("_d").alias("_s"),
+                             F.col("_s").alias("_d"))) \
+                .distinct().write.mode("overwrite").parquet(edges_path)
+        edges = spark.read.parquet(edges_path)
+        state = None
+        if os.path.exists(marker_path):
+            with open(marker_path) as f:
+                state = json.load(f)
+        if state is not None:
+            labels = spark.read.parquet(
+                os.path.join(checkpoint_dir, f"cc_labels_r{state['round']}"))
+            if state.get("converged"):
+                return labels.select("node", "component")
+            start = state["round"]
+        else:
+            labels_path = os.path.join(checkpoint_dir, "cc_labels_r0")
+            (edges.select(F.col("_s").alias("node")).distinct()
+             .withColumn("component", F.col("node"))
+             .write.mode("overwrite").parquet(labels_path))
+            labels = spark.read.parquet(labels_path)
+            start = 0
+
+        def persist(df, rnd):
+            p = os.path.join(checkpoint_dir, f"cc_labels_r{rnd}")
+            df.write.mode("overwrite").parquet(p)
+            return spark.read.parquet(p)
+
+        def done(converged, rnd):
+            with open(marker_path, "w") as f:
+                json.dump({"round": rnd, "converged": converged}, f)
+
+    rnd = start
+    converged = False
+    for rnd in range(start + 1, start + max_iter + 1):
         prop = (edges.join(labels, edges["_s"] == labels["node"])
                 .groupBy(F.col("_d").alias("node"))
                 .agg(F.min("component").alias("_nbr_min")))
-        new_labels = (labels.join(prop, "node", "left")
-                      .select("node",
-                              F.least("component",
-                                      F.coalesce("_nbr_min", "component"))
-                              .alias("component"))
-                      .localCheckpoint(eager=True))
+        new_labels = persist(
+            labels.join(prop, "node", "left")
+            .select("node",
+                    F.least("component", F.coalesce("_nbr_min", "component"))
+                    .alias("component")), rnd)
         changed = (new_labels.join(labels.withColumnRenamed("component", "_old"),
                                    "node")
                    .where(F.col("component") != F.col("_old"))
                    .limit(1).count())
         labels = new_labels
+        done(False, rnd)
         if changed == 0:
+            converged = True
             break
+    done(converged, rnd)
     return labels.select("node", "component")
 
 

@@ -146,3 +146,50 @@ def test_cell_cover_explode(spark):
     df = spark.createDataFrame([("POLYGON ((0 0, 20 0, 20 10, 0 10, 0 0))",)], "wkt string")
     cells = df.select(F.explode(SG.st_cell_cover(SG.st_from_wkt("wkt"), 6)).alias("c")).count()
     assert cells > 1
+
+
+# -- on_invalid modes (reference io.py:27-29, tests/test_io.py) -------------
+
+def test_on_invalid_ignore_warn_raise(spark):
+    import pyspark
+    df = spark.createDataFrame(
+        [(1, "POINT (1 2)"), (2, "POINT (abc)"), (3, None), (4, "LINESTRING (0 0, 1 1)")],
+        "id long, w string")
+    # ignore (default): bad -> NULL
+    out = df.select("id", SG.st_from_wkt_opt(F.col("w")).alias("g")) \
+        .orderBy("id").collect()
+    assert [r["g"] is None for r in out] == [False, True, True, False]
+    # warn: same NULLs, accumulator counts the invalid rows
+    acc = spark.sparkContext.accumulator(0)
+    # no orderBy here: range-partition sampling would re-run the UDF and
+    # double-count the accumulator (standard Spark accumulator caveat)
+    out = sorted(df.select("id", SG.st_from_wkt_opt(F.col("w"), "warn", acc)
+                           .alias("g")).collect(), key=lambda r: r["id"])
+    assert [r["g"] is None for r in out] == [False, True, True, False]
+    assert acc.value == 1
+    # raise: the task fails fast
+    with pytest.raises(Exception, match="invalid WKT"):
+        df.select(SG.st_from_wkt_opt(F.col("w"), "raise").alias("g")).collect()
+    with pytest.raises(ValueError, match="on_invalid"):
+        SG.st_from_wkt_opt(F.col("w"), "explode")
+
+
+def test_on_invalid_wkb_and_geojson(spark):
+    from spark_geo.kernel import wkb as K_wkb
+    from spark_geo.kernel.geom import Geom
+    good = K_wkb.dumps(Geom.point(3, 4))
+    df = spark.createDataFrame([(1, good), (2, b"\x01\x99junk")],
+                               "id long, b binary")
+    acc = spark.sparkContext.accumulator(0)
+    out = sorted(df.select("id", SG.st_from_wkb_opt(F.col("b"), "warn", acc)
+                           .alias("g")).collect(), key=lambda r: r["id"])
+    assert out[0]["g"] == good and out[1]["g"] is None  # identity on valid
+    assert acc.value == 1
+    gj = spark.createDataFrame(
+        [(1, '{"type": "Point", "coordinates": [1.0, 2.0]}'),
+         (2, '{"type": "Nope"}')], "id long, j string")
+    out = gj.select("id", SG.st_from_geojson_opt(F.col("j")).alias("g")) \
+        .orderBy("id").collect()
+    assert out[0]["g"] is not None and out[1]["g"] is None
+    with pytest.raises(Exception, match="invalid GeoJSON"):
+        gj.select(SG.st_from_geojson_opt(F.col("j"), "raise").alias("g")).collect()

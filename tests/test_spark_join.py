@@ -224,3 +224,38 @@ def test_cell_join_geoms_scalar_fallback_predicate(spark):
                              left_id="left_id", right_id="right_id",
                              res=4, left_is_points=False)
     assert _pairs(c) == [(0, 7)]
+
+
+def test_cell_nearest_all_geoms_equals_broadcast(spark):
+    """General-geometry distributed nearest (cover-seeded ring
+    expansion) ≡ broadcast STRtree nearest_all on a mixed fixture of
+    boxes, lines and points (reference nearest_all accepts any
+    geometry, strtree.py:278)."""
+    lefts = []
+    for i in range(40):
+        cx = (i * 37 % 80) - 40.0
+        cy = (i * 53 % 60) - 30.0
+        if i % 3 == 0:
+            g = Geom.box(cx, cy, cx + 3, cy + 2)
+        elif i % 3 == 1:
+            g = Geom.linestring([(cx, cy), (cx + 4, cy + 1.5)])
+        else:
+            g = Geom.point(cx, cy)
+        lefts.append((i, K_wkb.dumps(g)))
+    rights = []
+    for j in range(15):
+        cx = (j * 61 % 80) - 40.0 + 0.375
+        cy = (j * 29 % 60) - 30.0 + 0.375
+        g = Geom.box(cx, cy, cx + 2, cy + 2) if j % 2 else \
+            Geom.linestring([(cx, cy), (cx + 3, cy - 1)])
+        rights.append((j, K_wkb.dumps(g)))
+    left = spark.createDataFrame(lefts, "left_id long, geom binary")
+    right = spark.createDataFrame(rights, "right_id long, geom binary")
+    b = SK.broadcast_nearest_all(left, right, right_id="right_id")
+    c = SK.cell_nearest_all(left, right, res=5, max_rings=40,
+                            assume_points=False)
+    bp = sorted((r["left_id"], r["right_id"], round(r["distance"], 9))
+                for r in b.collect())
+    cp = sorted((r["left_id"], r["right_id"], round(r["distance"], 9))
+                for r in c.collect())
+    assert bp == cp

@@ -334,3 +334,38 @@ def test_ivf_max_cell_truncation(spark):
     assert len(rows) == 5
     # deterministic truncation keeps the lowest ids
     assert {r["neighbor_id"] for r in rows} <= set(range(1, 11))
+
+
+def test_connected_components_durable_resume(spark, tmp_path):
+    """Durable CC: a killed job re-invoked with the same checkpoint dir
+    resumes from the last persisted round (not from scratch) and
+    converges to the same labels as the in-memory mode."""
+    import json as _json
+    import os as _os
+    # a 5-node path graph 0-1-2-3-4: diameter 4 -> needs >1 round, so
+    # max_iter=1 genuinely leaves it unconverged ("the kill")
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(4)],
+                                  "da long, db long")
+    ckpt = str(tmp_path / "cc")
+    _os.makedirs(ckpt, exist_ok=True)
+    partial = TX.connected_components(pairs, max_iter=1,
+                                      checkpoint_dir=ckpt).collect()
+    marker = _json.load(open(_os.path.join(ckpt, "cc_round.json")))
+    assert marker["converged"] is False and marker["round"] == 1
+    assert not all(r["component"] == 0 for r in partial)  # mid-flight
+    # resume: continues from round 1 state, converges, marks it
+    out = {r["node"]: r["component"]
+           for r in TX.connected_components(pairs, checkpoint_dir=ckpt)
+           .collect()}
+    assert out == {i: 0 for i in range(5)}
+    marker = _json.load(open(_os.path.join(ckpt, "cc_round.json")))
+    assert marker["converged"] is True and marker["round"] > 1
+    # converged marker -> third call returns the persisted labels
+    again = {r["node"]: r["component"]
+             for r in TX.connected_components(pairs, checkpoint_dir=ckpt)
+             .collect()}
+    assert again == out
+    # durable result == in-memory result
+    mem = {r["node"]: r["component"]
+           for r in TX.connected_components(pairs).collect()}
+    assert mem == out
