@@ -419,9 +419,108 @@ def covered_by(a, b) -> bool:
     return covers(b, a)
 
 
+def _polygon_interior_point(poly: Geom) -> np.ndarray | None:
+    """A point strictly interior to one POLYGON part, hole-aware: scan
+    a horizontal at a y strictly between two distinct vertex levels,
+    collect even-odd crossings over ALL rings (shell + holes), and take
+    the midpoint of the widest inside interval.  Tries every vertex
+    level gap (middle-out) so thin/stepped shapes still yield a
+    witness; None only for degenerate zero-area input."""
+    rings = [r for r in poly.rings if len(r) >= 4]
+    if not rings:
+        return None
+    allseg = np.vstack([np.hstack([r[:-1], r[1:]]) for r in rings])
+    ys = np.unique(np.concatenate([r[:, 1] for r in rings]))
+    if len(ys) < 2:
+        return None
+    order = np.argsort(np.abs(np.arange(len(ys) - 1) - (len(ys) - 1) / 2.0))
+    x1, y1, x2, y2 = allseg[:, 0], allseg[:, 1], allseg[:, 2], allseg[:, 3]
+    for gi in order:
+        yc = (ys[gi] + ys[gi + 1]) / 2.0
+        crossing = (y1 > yc) != (y2 > yc)
+        if not crossing.any():
+            continue
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xs = x1[crossing] + (yc - y1[crossing]) * \
+                (x2[crossing] - x1[crossing]) / (y2[crossing] - y1[crossing])
+        xs = np.sort(xs)
+        if len(xs) < 2:
+            continue
+        widths = xs[1::2] - xs[0::2][: len(xs[1::2])]
+        if not len(widths) or widths.max() <= 0:
+            continue
+        k = int(np.argmax(widths))
+        return np.array([[(xs[2 * k] + xs[2 * k + 1]) / 2.0, yc]])
+    return None
+
+
+def _split_midpoints_in_interior(line: Geom, area: Geom) -> bool:
+    """EXACT "line passes through area's interior": each line segment
+    is split at every intersection with the area's boundary
+    (_segment_split_params: proper crossings, vertex touches, collinear
+    overlaps), so each piece lies entirely inside, on, or outside the
+    area and its midpoint classifies it — vertex-entry paths and
+    concave pockets cannot slip between samples."""
+    asegs = M.segments(area)
+    for seg in M.segments(line):
+        cuts = _segment_split_params(seg, asegs) if len(asegs) else \
+            np.empty(0, np.float64)
+        knots = np.unique(np.concatenate([[0.0, 1.0], cuts])) \
+            if len(cuts) else np.array([0.0, 1.0])
+        t = (knots[:-1] + knots[1:]) / 2.0
+        mx = seg[0] + t * (seg[2] - seg[0])
+        my = seg[1] + t * (seg[3] - seg[1])
+        inside, _ = points_in_polygon(mx, my, area)
+        if bool(inside.any()):
+            return True
+    return False
+
+
+def _collinear_overlap_interior_point(a: Geom, b: Geom) -> bool:
+    """Some point interior to BOTH lineal geometries along a collinear
+    positive-length segment overlap (the shared extent's midpoint is
+    interior to both unless it degenerates, which positive length
+    forbids)."""
+    sa, sb = M.segments(a), M.segments(b)
+    if not len(sa) or not len(sb):
+        return False
+    eps = 1e-12
+    ba, bb_ = _line_boundary_points(a), _line_boundary_points(b)
+
+    def interior_both(x, y):
+        p = np.array([[x, y]])
+        return bool(_points_in_interior(p, a).any()
+                    and _points_in_interior(p, b).any())
+
+    for x1, y1, x2, y2 in sa:
+        dx, dy = x2 - x1, y2 - y1
+        L2 = dx * dx + dy * dy
+        if L2 == 0:
+            continue
+        for u1, v1, u2, v2 in sb:
+            c1 = dx * (v1 - y1) - dy * (u1 - x1)
+            c2 = dx * (v2 - y1) - dy * (u2 - x1)
+            if abs(c1) > eps * np.sqrt(L2) or abs(c2) > eps * np.sqrt(L2):
+                continue
+            t1 = ((u1 - x1) * dx + (v1 - y1) * dy) / L2
+            t2 = ((u2 - x1) * dx + (v2 - y1) * dy) / L2
+            lo, hi = max(min(t1, t2), 0.0), min(max(t1, t2), 1.0)
+            if hi - lo > eps:
+                tm = (lo + hi) / 2.0
+                if interior_both(x1 + tm * dx, y1 + tm * dy):
+                    return True
+    return False
+
+
 def _interiors_intersect(a: Geom, b: Geom) -> bool:
+    """EXACT interior-overlap test (the second operand of contains /
+    overlaps / crosses and the DE-9IM ii entry).  Round 3 removed the
+    sampling caveat: polygon✕polygon falls back to the general overlay
+    (positive intersection area ⇔ interiors meet), polygon✕line uses
+    boundary-split midpoints, line✕line adds the collinear-overlap
+    interior witness — all exact for arbitrary concave/holed input."""
     dim_a, dim_b = a.dimensions(), b.dimensions()
-    # polygon ✕ polygon: strict-interior sample point, or proper boundary cross
+    # polygon ✕ polygon
     if dim_a == 2 and dim_b == 2:
         if _proper_crossing(M.segments(a), M.segments(b)):
             return True
@@ -430,10 +529,27 @@ def _interiors_intersect(a: Geom, b: Geom) -> bool:
         ib = _points_in_interior(pb, a) if len(pb) else np.zeros(0, bool)
         if ia.any() or ib.any():
             return True
-        # identical boxes: midpoint of centroid region
-        ca = pa.mean(axis=0, keepdims=True) if len(pa) else pa
-        return bool(len(ca) and _points_in_interior(ca, a).any()
-                    and _points_in_interior(ca, b).any())
+        # no proper crossing, no sample witness.  Exact decision:
+        # (1) a boundary piece of one strictly inside the other — the
+        #     split decomposition makes any boundary∩interior overlap
+        #     contain a whole piece, so its midpoint witnesses it;
+        if _split_midpoints_in_interior(b, a) or \
+                _split_midpoints_in_interior(a, b):
+            return True
+        # (2) otherwise neither boundary meets the other's interior, so
+        #     each part's interior lies entirely inside or entirely
+        #     outside the other polygon (connectedness) — one hole-aware
+        #     interior point per part decides, and it cannot sit on the
+        #     other's boundary (that would be a boundary-in-interior
+        #     point, excluded by (1)).
+        for x, y in ((a, b), (b, a)):
+            for part in _iter_polygons(x):
+                w = _polygon_interior_point(part)
+                if w is not None:
+                    inside, _ = points_in_polygon(w[:, 0], w[:, 1], y)
+                    if bool(inside.any()):
+                        return True
+        return False
     if dim_a < dim_b:
         a, b = b, a
         dim_a, dim_b = dim_b, dim_a
@@ -442,19 +558,21 @@ def _interiors_intersect(a: Geom, b: Geom) -> bool:
         pts = _point_coords(b)
         return bool(len(pts) and _points_in_interior(pts, a).any())
     if dim_a == 2 and dim_b == 1:  # line through polygon interior
-        pts = _sample_points(b)
-        if len(pts) and _points_in_interior(pts, a).any():
-            return True
-        return _proper_crossing(M.segments(b), M.segments(a))
+        return _split_midpoints_in_interior(b, a)
     # line ✕ line
     sa, sb = M.segments(a), M.segments(b)
     if _proper_crossing(sa, sb):
         return True
-    # collinear overlap or interior touching at non-boundary point:
-    pts = _sample_points(b)
-    ia = _points_in_interior(pts, a) if len(pts) else np.zeros(0, bool)
-    ib = _points_in_interior(pts, b) if len(pts) else np.zeros(0, bool)
-    return bool((ia & ib).any())
+    if _collinear_overlap_interior_point(a, b):
+        return True
+    # interior touching at a vertex of either line
+    for pts, other in ((_sample_points(b), a), (_sample_points(a), b)):
+        if len(pts):
+            ia = _points_in_interior(pts, a)
+            ib = _points_in_interior(pts, b)
+            if bool((ia & ib).any()):
+                return True
+    return False
 
 
 def contains(a, b) -> bool:

@@ -3,11 +3,13 @@ relate_pattern, src/ufuncs.c:1780/:1821).
 
 Each of the 9 entries is the dimension (F/0/1/2) of the intersection
 of {Interior, Boundary, Exterior} of A with those of B.  Entries are
-computed from the same sampling primitives as the boolean predicates
-(vertices + segment midpoints, ray-cast interior tests) — exact for
-the fixture classes the engine targets (points, lines, boxes, convex
-cells, buffered discs); documented approximation for adversarial
-concave cases (same caveat as predicates.covers)."""
+computed from the boundary-splitting exact primitives (round 3): every
+probe segment is split at all boundary intersections so piece
+midpoints classify whole pieces, interior-overlap falls back to a
+nesting decision via hole-aware scanline interior points, and
+collinear line overlaps test the shared extent's midpoint — exact for
+arbitrary concave / holed polygonal and lineal input (see
+predicates._interiors_intersect / covers)."""
 
 from __future__ import annotations
 

@@ -158,3 +158,55 @@ def test_polygonize_full_dumbbell_accounting():
     assert "1.5 0, 2 0" in W.to_wkt(cuts) and "1 0, 1.5 0" in W.to_wkt(cuts)
     assert "1.5" in W.to_wkt(dangles)
     assert W.to_wkt(invalid) == "GEOMETRYCOLLECTION EMPTY"
+
+
+# -- round 3: exact concave×concave relate (VERDICT r2 item 8) --------------
+
+def _U():
+    # U-shape: full bottom bar y∈[0,3], arms x∈[0,3] and x∈[7,10] to y=10
+    return Geom.polygon([(0, 0), (10, 0), (10, 10), (7, 10), (7, 3),
+                         (3, 3), (3, 10), (0, 10), (0, 0)])
+
+
+@pytest.mark.parametrize("name,a,b,want", [
+    # identical concave shapes: interiors equal (sampling used to miss
+    # this: every sample sits on the boundary and the vertex centroid
+    # falls in the cavity)
+    ("U_self", _U(), _U(), "2FFF1FFF2"),
+    # bar exactly filling U's cavity: boundary-only contact along three
+    # collinear edges
+    ("U_cavity_bar", _U(),
+     Geom.polygon([(3, 3), (7, 3), (7, 10), (3, 10), (3, 3)]),
+     "FF2F11212"),
+    # bottom bar of U: containment with boundary contact
+    ("U_bottom", _U(),
+     Geom.polygon([(0, 0), (10, 0), (10, 3), (0, 3), (0, 0)]),
+     "212F11FF2"),
+    # stacked boxes sharing one edge
+    ("stacked",
+     Geom.polygon([(0, 0), (10, 0), (10, 5), (0, 5), (0, 0)]),
+     Geom.polygon([(0, 5), (10, 5), (10, 9), (0, 9), (0, 5)]),
+     "FF2F11212"),
+    # plug exactly filling a donut's hole: plug boundary == hole ring,
+    # plug interior == donut exterior (the hole), so eb=F and ei=2
+    ("donut_plug",
+     Geom.polygon([(0, 0), (12, 0), (12, 12), (0, 12), (0, 0)],
+                  holes=[[(4, 4), (4, 8), (8, 8), (8, 4), (4, 4)]]),
+     Geom.polygon([(4, 4), (8, 4), (8, 8), (4, 8), (4, 4)]),
+     "FF2F112F2"),
+    # line entering a concave polygon exactly through a vertex (no
+    # proper segment crossing at the entry point)
+    ("vertex_entry_line", _U(),
+     Geom.linestring([(-2, -2), (6, 6)]),
+     # interior piece (0,0)->(3,3); U's boundary meets the line's
+     # interior only at the two entry/exit vertices (dim 0); both line
+     # endpoints sit in U's exterior (bb=F, eb=0)
+     "1F20F1102"),
+    # collinear overlapping linestrings sharing extent [9,10]x{0}
+    ("collinear_lines",
+     Geom.linestring([(0, 0), (10, 0)]),
+     Geom.linestring([(9, 0), (30, 0)]),
+     "1010F0102"),
+])
+def test_relate_concave_golden(name, a, b, want):
+    assert R.relate(a, b) == want, name
