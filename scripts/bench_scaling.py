@@ -2,6 +2,17 @@
 spatial-join + tile-assignment job at two parallelism levels on the
 same input, report throughput at both + efficiency = (pps_4N/pps_N)/4.
 
+Round-3 protocol — MEDIAN OF CLEAN PASSES (VERDICT r2 item 6):
+each invocation runs >= 5 alternating passes of (local[4], local[16]);
+every timed run samples /proc/stat procs_blocked and /proc/loadavg
+while it executes, so the sandbox's documented external stalls
+(D-state load spikes with idle CPU, multi-10-second freezes) are
+DETECTED rather than inferred: a run is stalled if blocked-process
+spikes fired during it or its wall time is a >=1.4x outlier vs the
+level's best.  The headline figure is the MEDIAN efficiency over
+clean passes — no best-of cherry-picking — with every raw run and its
+stall markers published.
+
 Protocol notes (measured on this sandbox, see BENCH/BASELINE.md):
 - Levels are local[4] (N) vs local[16] (4N).  local[32] would
   oversubscribe the 32-core box — each Spark task thread pairs with a
@@ -23,6 +34,8 @@ Protocol notes (measured on this sandbox, see BENCH/BASELINE.md):
   permits.
 
 Usage: python scripts/bench_scaling.py [n_pages]
+Env: SPARK_GRAFT_SCALING_PASSES (default 5, max extended to 8 while
+fewer than 5 passes are clean).
 """
 
 from __future__ import annotations
@@ -38,10 +51,12 @@ from datetime import datetime, timezone
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 N_PAGES = 24_000_000
 LEVELS = (4, 16)
-RUNS = 3
+RUNS = 2          # timed runs per level per pass (after 2 warmups)
+BLOCKED_SPIKE = 4  # procs_blocked >= this during a run => stall marker
+OUTLIER = 1.4      # sec > OUTLIER * level best => stall (cross-check)
 
 _JOB = r"""
-import sys, time, os, json
+import sys, time, os, json, threading
 sys.path.insert(0, {repo!r})
 from spark_geo.session import get_spark
 from spark_geo import pipeline as PL, join as SJ
@@ -78,20 +93,49 @@ def job():
     return joined.groupBy("polygon_id").agg(
         F.count(F.lit(1)).alias("n_pages"), F.countDistinct("cell").alias("n_cells"))
 
+class StallSampler:
+    '''Samples /proc/stat procs_blocked + 1-min load every 0.5s while a
+    timed run executes — the external-stall fingerprint on this box is
+    D-state (blocked) kernel threads piling up while CPU idles.'''
+    def __init__(self):
+        self.max_blocked = 0
+        self.max_load = 0.0
+        self._stop = threading.Event()
+        self._t = threading.Thread(target=self._loop, daemon=True)
+    def _loop(self):
+        while not self._stop.is_set():
+            try:
+                with open("/proc/stat") as f:
+                    for line in f:
+                        if line.startswith("procs_blocked"):
+                            self.max_blocked = max(self.max_blocked,
+                                                   int(line.split()[1]))
+                            break
+                with open("/proc/loadavg") as f:
+                    self.max_load = max(self.max_load,
+                                        float(f.read().split()[0]))
+            except OSError:
+                pass
+            self._stop.wait(0.5)
+    def __enter__(self):
+        self._t.start(); return self
+    def __exit__(self, *exc):
+        self._stop.set(); self._t.join(timeout=2)
+
 # two warmups: run 1 pays codegen + python-worker spawn; run 2 pays
 # the worker heaps' first-touch page faults (expensive on this
 # syscall-interposing sandbox); timed runs are steady-state
 job().write.format("noop").mode("overwrite").save()
 job().write.format("noop").mode("overwrite").save()
-ts = []
+runs = []
 for _ in range({runs}):
-    t0 = time.perf_counter()
-    job().write.format("noop").mode("overwrite").save()
-    ts.append(time.perf_counter() - t0)
-ts.sort()
-med = ts[len(ts) // 2]
-print(json.dumps({{"cpus": cpus, "median_sec": round(med, 3),
-                  "pages_per_sec": round(n / med, 1), "all_runs": [round(t,2) for t in ts]}}))
+    with StallSampler() as s:
+        t0 = time.perf_counter()
+        job().write.format("noop").mode("overwrite").save()
+        sec = time.perf_counter() - t0
+    runs.append({{"sec": round(sec, 3), "max_blocked": s.max_blocked,
+                  "max_load": round(s.max_load, 1)}})
+print(json.dumps({{"cpus": cpus, "runs": runs}}))
 """
 
 
@@ -111,72 +155,47 @@ def run_level(cpus: int, n_pages: int, pq: str) -> dict:
 
 def main():
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else N_PAGES
-    passes = int(os.environ.get("SPARK_GRAFT_SCALING_PASSES", "1"))
+    min_passes = int(os.environ.get("SPARK_GRAFT_SCALING_PASSES", "5"))
+    max_passes = max(min_passes, 8)
     pq = os.path.join(tempfile.gettempdir(), f"spark_geo_scaling_{n_pages}.parquet")
-    # This sandbox exhibits intermittent multi-10-second external
-    # stalls (D-state load spikes with idle CPU; observed run spreads
-    # like [10.7, 12.0, 57.5] for an identical job).  Alternate the two
-    # levels over several passes and take each level's BEST run — the
-    # engine's unstalled capability — publishing every raw run for
-    # scrutiny.
-    results = {lv: [] for lv in LEVELS}
-    for _ in range(passes):
+
+    passes = []  # [{4: [run,...], 16: [run,...]}]
+    while len(passes) < max_passes:
+        p = {}
         for lv in LEVELS:
-            r = run_level(lv, n_pages, pq)
-            results[lv].append(r)
-    def best(lv):
-        rs = results[lv]
-        b = max(rs, key=lambda r: r["pages_per_sec"])
-        b = dict(b)
-        b["all_runs"] = sorted(t for r in rs for t in r["all_runs"])
-        b["median_sec"] = min(min(r["all_runs"]) for r in rs)
-        b["pages_per_sec"] = round(n_pages / b["median_sec"], 1)
-        return b
-    small, big = best(LEVELS[0]), best(LEVELS[1])
-    eff = (big["pages_per_sec"] / small["pages_per_sec"]) / (LEVELS[1] / LEVELS[0])
+            p[lv] = run_level(lv, n_pages, pq)["runs"]
+        passes.append(p)
+        # mark stalls so far and stop once we have >= min_passes clean
+        if len(passes) >= min_passes and _n_clean(passes, n_pages) >= min_passes:
+            break
+
+    clean, table = _classify(passes, n_pages)
+    effs = [c["eff"] for c in clean]
+    med_eff = statistics.median(effs) if effs else float("nan")
     report = {
         "pages": n_pages,
-        f"local[{LEVELS[0]}]_pages_per_sec": small["pages_per_sec"],
-        f"local[{LEVELS[1]}]_pages_per_sec": big["pages_per_sec"],
-        "scaling_efficiency": round(eff, 3),
-        "pass": eff >= 0.8,
+        "passes": len(passes),
+        "clean_passes": len(clean),
+        "per_pass_eff": [round(e, 3) for e in effs],
+        "median_eff_clean": round(med_eff, 3) if effs else None,
+        "pass": bool(effs) and med_eff >= 0.8,
     }
     print(json.dumps(report))
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-
-    # Append to the persistent run history and HEADLINE the best
-    # invocation: single invocations are at the mercy of this sandbox's
-    # multi-10-second external stalls (observed identical-code
-    # invocations ranging 0.17-0.88), so the best invocation is the
-    # engine's capability; the full history is published for scrutiny.
     hist_path = os.path.join(REPO, "BENCH", "history.jsonl")
     entry = dict(report)
     entry["ts"] = datetime.now(timezone.utc).isoformat(timespec="seconds")
-    entry["runs"] = {str(lv): sorted(t for r in results[lv]
-                                     for t in r["all_runs"]) for lv in LEVELS}
+    entry["raw"] = [{str(lv): p[lv] for lv in LEVELS} for p in passes]
     with open(hist_path, "a") as hf:
         hf.write(json.dumps(entry) + "\n")
-    history = []
-    with open(hist_path) as hf:
-        for line in hf:
-            if line.strip():
-                history.append(json.loads(line))
-    same = [h for h in history if h.get("pages") == n_pages]
-    champ = max(same, key=lambda h: h["scaling_efficiency"])
-    eff = champ["scaling_efficiency"]
-    small = dict(small); big = dict(big)
-    small["pages_per_sec"] = champ[f"local[{LEVELS[0]}]_pages_per_sec"]
-    big["pages_per_sec"] = champ[f"local[{LEVELS[1]}]_pages_per_sec"]
-    small["median_sec"] = round(n_pages / small["pages_per_sec"], 2)
-    big["median_sec"] = round(n_pages / big["pages_per_sec"], 2)
-    small["all_runs"] = champ["runs"][str(LEVELS[0])]
-    big["all_runs"] = champ["runs"][str(LEVELS[1])]
-    hist_lines = "\n".join(
-        f"| {h['ts']} | {h[f'local[{LEVELS[0]}]_pages_per_sec']:,} "
-        f"| {h[f'local[{LEVELS[1]}]_pages_per_sec']:,} "
-        f"| {h['scaling_efficiency']} |" for h in same)
-    if n_pages != N_PAGES:
+    if n_pages != N_PAGES or not effs:
         return  # exploratory size: history recorded, headline untouched
+
+    med_pass = sorted(clean, key=lambda c: c["eff"])[len(clean) // 2]
+    rows = "\n".join(
+        f"| {t['pass']} | {t['sec4']} | {t['sec16']} | {t['pps4']:,} "
+        f"| {t['pps16']:,} | {t['eff'] if t['eff'] is not None else '—'} "
+        f"| {t['status']} |" for t in table)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(f"""# BENCH/BASELINE — flagship throughput + scaling
 
@@ -184,25 +203,30 @@ Flagship spatial-join + tile-assignment job (broadcast-STRtree
 point-in-polygon join against a 2,000-polygon disc layer + per-region
 tile aggregation) over the geocoded pages table ({n_pages:,} rows,
 deterministic synthesis, materialized parquet, cached in executor
-memory before timing).  Per level: {passes} passes x (1 warmup +
-{RUNS} timed runs); reported figure = BEST run — this sandbox shows
-intermittent multi-10-second external stalls (D-state load spikes
-with idle CPU), so the best run is the engine's unstalled capability;
-every raw run is published below.  Generated
+memory before timing).
+
+**Protocol (round 3): median of clean passes.**  {len(passes)} passes
+of alternating taskset-pinned local[{LEVELS[0]}] / local[{LEVELS[1]}]
+legs (2 warmups + {RUNS} timed runs each).  Every timed run samples
+``/proc/stat procs_blocked`` and 1-min load while it executes; a run
+is STALLED if blocked-processes spiked >= {BLOCKED_SPIKE} during it or
+its wall time is >= {OUTLIER}x the level's best (this sandbox has
+documented external multi-10s D-state stalls).  A pass is clean when
+both legs have a clean run; pass efficiency uses each leg's best clean
+run.  Headline = MEDIAN efficiency over the {len(clean)} clean passes
+— not best-of.  Generated
 {datetime.now(timezone.utc).isoformat(timespec='seconds')} by
 scripts/bench_scaling.py.
 
-| level | best sec | pages/sec | all runs (sorted) |
-|---|---|---|---|
-| local[{LEVELS[0]}] (N) | {small['median_sec']} | {small['pages_per_sec']:,} | {small['all_runs']} |
-| local[{LEVELS[1]}] (4N) | {big['median_sec']} | {big['pages_per_sec']:,} | {big['all_runs']} |
+| pass | local[{LEVELS[0]}] sec | local[{LEVELS[1]}] sec | pps@{LEVELS[0]} | pps@{LEVELS[1]} | efficiency | status |
+|---|---|---|---|---|---|---|
+{rows}
 
-**Scaling efficiency (N→4N): {eff:.3f}** (target ≥ 0.8 → {'PASS' if eff >= 0.8 else 'FAIL'})
-— best invocation of {len(same)} recorded in BENCH/history.jsonl:
-
-| invocation (UTC) | local[{LEVELS[0]}] pps | local[{LEVELS[1]}] pps | efficiency |
-|---|---|---|---|
-{hist_lines}
+**Median scaling efficiency over clean passes (N→4N):
+{med_eff:.3f}** (target ≥ 0.8 → {'PASS' if med_eff >= 0.8 else 'FAIL'});
+median clean pass: {med_pass['pps4']:,} pages/s at local[{LEVELS[0]}],
+{med_pass['pps16']:,} pages/s at local[{LEVELS[1]}].
+Raw runs + stall markers for every pass are in BENCH/history.jsonl.
 
 ## Why local[4] vs local[16]
 
@@ -211,7 +235,7 @@ local[32] on this 32-core box schedules 64 runnable entities — an
 oversubscription a real 4N-executor cluster never experiences.
 local[4] vs local[16] keeps both levels unoversubscribed.
 
-## Environment ceiling (controls, same box, same day)
+## Environment ceiling (controls, same box, round 2)
 
 | control workload | 4→16-core efficiency |
 |---|---|
@@ -226,6 +250,48 @@ should be read against the 0.86 process-compute ceiling — the
 spatial kernels run in independent Python worker processes, which is
 also why the engine pipeline scales BETTER than the pure-JVM control.
 """)
+
+
+def _level_best(passes, lv):
+    return min(r["sec"] for p in passes for r in p[lv])
+
+
+def _classify(passes, n_pages):
+    """-> (clean_pass_dicts, display_table)."""
+    best = {lv: _level_best(passes, lv) for lv in LEVELS}
+
+    def clean_runs(p, lv):
+        return [r for r in p[lv]
+                if r["max_blocked"] < BLOCKED_SPIKE
+                and r["sec"] < OUTLIER * best[lv]]
+
+    clean, table = [], []
+    for i, p in enumerate(passes):
+        c4, c16 = clean_runs(p, LEVELS[0]), clean_runs(p, LEVELS[1])
+        s4 = min((r["sec"] for r in c4), default=None)
+        s16 = min((r["sec"] for r in c16), default=None)
+        row = {"pass": i + 1,
+               "sec4": s4 if s4 is not None
+               else min(r["sec"] for r in p[LEVELS[0]]),
+               "sec16": s16 if s16 is not None
+               else min(r["sec"] for r in p[LEVELS[1]])}
+        if s4 is not None and s16 is not None:
+            pps4, pps16 = n_pages / s4, n_pages / s16
+            eff = (pps16 / pps4) / (LEVELS[1] / LEVELS[0])
+            row.update(pps4=round(pps4, 1), pps16=round(pps16, 1),
+                       eff=round(eff, 3), status="clean")
+            clean.append({"eff": eff, "pps4": round(pps4, 1),
+                          "pps16": round(pps16, 1)})
+        else:
+            row.update(pps4=round(n_pages / row["sec4"], 1),
+                       pps16=round(n_pages / row["sec16"], 1),
+                       eff=None, status="STALLED (discarded)")
+        table.append(row)
+    return clean, table
+
+
+def _n_clean(passes, n_pages):
+    return len(_classify(passes, n_pages)[0])
 
 
 if __name__ == "__main__":

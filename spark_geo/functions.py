@@ -236,13 +236,37 @@ def st_as_wkt(b: pd.Series) -> pd.Series:
     return pd.Series([K_wkt.to_wkt(_loads_safe(v), 6) for v in b], dtype=object)
 
 
-def st_as_wkt_prec(col, precision: int = 6):
+def st_as_wkt_prec(col, precision: int = 6, old_3d: bool = False):
     """to_wkt with explicit rounding_precision (reference io.py:102:
-    rounding_precision=-1 -> full repr, no rounding)."""
+    rounding_precision=-1 -> full repr, no rounding) and the old_3d
+    marker-free Z style."""
     @pandas_udf(T.StringType())
     def _udf(b: pd.Series) -> pd.Series:
-        return pd.Series([K_wkt.to_wkt(_loads_safe(v), precision)
+        return pd.Series([K_wkt.to_wkt(_loads_safe(v), precision, old_3d)
                           for v in b], dtype=object)
+    return _udf(col)
+
+
+def st_as_wkb_opt(col, hex: bool = False, byte_order: int = 1,
+                  output_dimension: int = 3, include_srid: bool = False):
+    """to_wkb's serialization options (reference io.py:185-247).  The
+    storage form is already little-endian extended WKB, so the default
+    call is an identity re-encode; use this only at EXPORT boundaries
+    feeding systems that demand XDR / 2D / hex — keep the hot path on
+    the raw storage bytes."""
+    @pandas_udf(T.StringType() if hex else T.BinaryType())
+    def _udf(b: pd.Series) -> pd.Series:
+        out = []
+        for v in b:
+            g = _loads_safe(v)
+            if g is None:
+                out.append(None)
+                continue
+            w = K_wkb.dumps_ext(g, byte_order=byte_order,
+                                output_dimension=output_dimension,
+                                include_srid=include_srid)
+            out.append(w.hex().upper() if hex else w)
+        return pd.Series(out, dtype=object)
     return _udf(col)
 
 

@@ -149,13 +149,64 @@ def _enc(g: Geom, top: bool = True):
             yield from _enc(p, top=False)
 
 
-def _pack_coords(c, zs):
+def _pack_coords(c, zs, bo: str = "<"):
     if zs is not None:
-        arr = np.empty((len(c), 3), dtype="<f8")
+        arr = np.empty((len(c), 3), dtype=f"{bo}f8")
         arr[:, :2] = c
         arr[:, 2] = zs
         return arr.tobytes()
-    return np.ascontiguousarray(c, dtype="<f8").tobytes()
+    return np.asarray(c, dtype=f"{bo}f8").tobytes()
+
+
+def dumps_ext(g: Geom | None, byte_order: int = 1,
+              output_dimension: int = 3,
+              include_srid: bool = False) -> bytes | None:
+    """to_wkb's serialization option tail (reference io.py:185-247):
+    ``byte_order`` 1 = little endian (NDR, the storage default) /
+    0 = big endian (XDR); ``output_dimension=2`` strips Z;
+    ``include_srid`` embeds the EWKB SRID flag (ignored when the
+    geometry has no SRID).  ``hex`` lives at the Spark layer (a
+    formatting concern: bytes.hex())."""
+    if g is None:
+        return None
+    bo = "<" if byte_order else ">"
+    head = b"\x01" if byte_order else b"\x00"
+    out: list[bytes] = []
+
+    def enc(q: Geom, top: bool) -> None:
+        z = bool(q.has_z and q.zs is not None and output_dimension >= 3)
+        wkb_type = _LATTICE_TO_OGC[q.type_id] + (1000 if z else 0)
+        srid = getattr(q, "srid", 0)
+        out.append(head)
+        if top and include_srid and srid:
+            out.append(struct.pack(bo + "I", wkb_type | 0x20000000))
+            out.append(struct.pack(bo + "i", srid))
+        else:
+            out.append(struct.pack(bo + "I", wkb_type))
+        if q.type_id == POINT:
+            if q.is_empty:
+                vals = (np.nan,) * (3 if z else 2)
+            elif z:
+                vals = (q.coords[0, 0], q.coords[0, 1], q.zs[0])
+            else:
+                vals = (q.coords[0, 0], q.coords[0, 1])
+            out.append(struct.pack(bo + "d" * len(vals), *vals))
+        elif q.type_id in (LINESTRING, LINEARRING):
+            out.append(struct.pack(bo + "I", len(q.coords)))
+            out.append(_pack_coords(q.coords, q.zs if z else None, bo))
+        elif q.type_id == POLYGON:
+            rings = [r for r in q.rings if len(r)]
+            out.append(struct.pack(bo + "I", len(rings)))
+            for r in rings:
+                out.append(struct.pack(bo + "I", len(r)))
+                out.append(_pack_coords(r, None, bo))
+        else:
+            out.append(struct.pack(bo + "I", len(q.parts)))
+            for p in q.parts:
+                enc(p, top=False)
+
+    enc(g, True)
+    return b"".join(out)
 
 
 # ---------------------------------------------------------------------------

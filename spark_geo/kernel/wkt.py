@@ -206,10 +206,19 @@ def _fmt(v, precision):
     return s
 
 
-def to_wkt(g: Geom | None, precision: int = 6) -> str | None:
+def to_wkt(g: Geom | None, precision: int = 6,
+           old_3d: bool = False) -> str | None:
+    """``old_3d=True`` writes Z coordinates WITHOUT the ' Z' type
+    marker — 'POINT (1 2 3)' — matching the reference's to_wkt old_3d
+    flag (io.py:102-183)."""
     if g is None:
         return None
-    return _wkt(g, precision)
+    s = _wkt(g, precision)
+    if old_3d:
+        # coordinate text never contains " Z ", so a global replace
+        # strips the marker from nested collection parts too
+        s = s.replace(" Z ", " ")
+    return s
 
 
 def _coords_str(c, zs, precision):

@@ -91,3 +91,45 @@ def test_ewkb_z_flag_read():
 def test_multipoint_bare_wkt():
     g = wkt.from_wkt("MULTIPOINT (0 0, 1 2)")
     assert g.type_id == MULTIPOINT and len(g.parts) == 2
+
+
+# -- round 3: to_wkb / to_wkt serialization option tail ---------------------
+
+def test_dumps_ext_byte_order_roundtrip():
+    """Big-endian output round-trips through the reader and differs
+    from the little-endian bytes only in representation."""
+    g = Geom.polygon([(0, 0), (4, 0), (4, 3), (0, 3), (0, 0)],
+                     holes=[[(1, 1), (1, 2), (2, 2), (2, 1), (1, 1)]])
+    le = wkb.dumps_ext(g, byte_order=1)
+    be = wkb.dumps_ext(g, byte_order=0)
+    assert le == wkb.dumps(g)           # NDR default == storage encoder
+    assert be != le and be[0] == 0x00 and le[0] == 0x01
+    g2 = wkb.loads(be)
+    assert np.array_equal(g2.rings[0], g.rings[0])
+    assert np.array_equal(g2.rings[1], g.rings[1])
+
+
+def test_dumps_ext_output_dimension_strips_z():
+    g = Geom.point(1.5, 2.5, z=9.0)
+    flat = wkb.loads(wkb.dumps_ext(g, output_dimension=2))
+    assert not flat.has_z and flat.coords[0, 0] == 1.5
+    full = wkb.loads(wkb.dumps_ext(g, output_dimension=3))
+    assert full.has_z and full.zs[0] == 9.0
+
+
+def test_dumps_ext_include_srid():
+    g = Geom.point(1.0, 2.0)
+    g.srid = 4326
+    no = wkb.dumps_ext(g, include_srid=False)
+    yes = wkb.dumps_ext(g, include_srid=True)
+    assert len(yes) == len(no) + 4
+    assert wkb.loads(yes).srid == 4326
+    assert wkb.loads(no).srid == 0
+
+
+def test_to_wkt_old_3d():
+    g = Geom.point(1.0, 2.0, z=3.0)
+    assert wkt.to_wkt(g) == "POINT Z (1 2 3)"
+    assert wkt.to_wkt(g, old_3d=True) == "POINT (1 2 3)"
+    mp = Geom.multi(MULTIPOINT, [Geom.point(1.0, 2.0, z=3.0)])  # MULTIPOINT
+    assert " Z " not in wkt.to_wkt(mp, old_3d=True)
