@@ -51,9 +51,12 @@ from datetime import datetime, timezone
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 N_PAGES = 24_000_000
 LEVELS = (4, 16)
-RUNS = 2          # timed runs per level per pass (after 2 warmups)
+RUNS = {4: 2, 16: 4}  # timed runs per level per pass (after 2 warmups);
+                      # the 16-core leg is cheap and stall-exposed, so it
+                      # gets more shots at a clean window per pass
 BLOCKED_SPIKE = 4  # procs_blocked >= this during a run => stall marker
 OUTLIER = 1.4      # sec > OUTLIER * level best => stall (cross-check)
+BUSY_DROP = 0.8    # busy_frac < BUSY_DROP * level's best busy => stall
 
 _JOB = r"""
 import sys, time, os, json, threading
@@ -93,13 +96,33 @@ def job():
     return joined.groupBy("polygon_id").agg(
         F.count(F.lit(1)).alias("n_pages"), F.countDistinct("cell").alias("n_cells"))
 
+def _pinned_cpu_jiffies():
+    '''(busy, total) jiffies summed over this leg's pinned cores.'''
+    busy = total = 0
+    with open("/proc/stat") as f:
+        for line in f:
+            if line.startswith("cpu") and not line.startswith("cpu "):
+                idx = int(line[3:line.index(" ")])
+                if idx >= cpus:
+                    continue
+                v = [int(x) for x in line.split()[1:]]
+                total += sum(v)
+                busy += sum(v) - v[3] - v[4]  # minus idle + iowait
+    return busy, total
+
+
 class StallSampler:
-    '''Samples /proc/stat procs_blocked + 1-min load every 0.5s while a
-    timed run executes — the external-stall fingerprint on this box is
-    D-state (blocked) kernel threads piling up while CPU idles.'''
+    '''External-stall detection for one timed run.  Two fingerprints on
+    this box: (a) D-state pileups -> /proc/stat procs_blocked sampled
+    every 0.5s; (b) the phantom stall, where wall time passes while the
+    run's own PINNED cores sit idle -> busy fraction of the pinned
+    cores over the run (a clean saturated run keeps them busy; an
+    identical stalled run shows the same work at a much lower busy
+    fraction).'''
     def __init__(self):
         self.max_blocked = 0
         self.max_load = 0.0
+        self.busy_frac = 1.0
         self._stop = threading.Event()
         self._t = threading.Thread(target=self._loop, daemon=True)
     def _loop(self):
@@ -118,9 +141,13 @@ class StallSampler:
                 pass
             self._stop.wait(0.5)
     def __enter__(self):
+        self._j0 = _pinned_cpu_jiffies()
         self._t.start(); return self
     def __exit__(self, *exc):
         self._stop.set(); self._t.join(timeout=2)
+        b1, t1 = _pinned_cpu_jiffies()
+        db, dt = b1 - self._j0[0], t1 - self._j0[1]
+        self.busy_frac = round(db / dt, 3) if dt > 0 else 1.0
 
 # two warmups: run 1 pays codegen + python-worker spawn; run 2 pays
 # the worker heaps' first-touch page faults (expensive on this
@@ -134,13 +161,14 @@ for _ in range({runs}):
         job().write.format("noop").mode("overwrite").save()
         sec = time.perf_counter() - t0
     runs.append({{"sec": round(sec, 3), "max_blocked": s.max_blocked,
-                  "max_load": round(s.max_load, 1)}})
+                  "max_load": round(s.max_load, 1),
+                  "busy_frac": s.busy_frac}})
 print(json.dumps({{"cpus": cpus, "runs": runs}}))
 """
 
 
 def run_level(cpus: int, n_pages: int, pq: str) -> dict:
-    code = _JOB.format(repo=REPO, cpus=cpus, n_pages=n_pages, pq=pq, runs=RUNS)
+    code = _JOB.format(repo=REPO, cpus=cpus, n_pages=n_pages, pq=pq, runs=RUNS[cpus])
     # Pin the whole process tree (JVM + Python workers) to exactly
     # `cpus` cores: an honest emulation of an N-executor cluster.
     # Without pinning, local[4]'s JVM serialization/GC/shuffle threads
@@ -156,7 +184,7 @@ def run_level(cpus: int, n_pages: int, pq: str) -> dict:
 def main():
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else N_PAGES
     min_passes = int(os.environ.get("SPARK_GRAFT_SCALING_PASSES", "5"))
-    max_passes = max(min_passes, 8)
+    max_passes = max(min_passes + 5, 10)
     pq = os.path.join(tempfile.gettempdir(), f"spark_geo_scaling_{n_pages}.parquet")
 
     passes = []  # [{4: [run,...], 16: [run,...]}]
@@ -207,11 +235,14 @@ memory before timing).
 
 **Protocol (round 3): median of clean passes.**  {len(passes)} passes
 of alternating taskset-pinned local[{LEVELS[0]}] / local[{LEVELS[1]}]
-legs (2 warmups + {RUNS} timed runs each).  Every timed run samples
-``/proc/stat procs_blocked`` and 1-min load while it executes; a run
-is STALLED if blocked-processes spiked >= {BLOCKED_SPIKE} during it or
-its wall time is >= {OUTLIER}x the level's best (this sandbox has
-documented external multi-10s D-state stalls).  A pass is clean when
+legs (2 warmups + {RUNS[LEVELS[0]]}/{RUNS[LEVELS[1]]} timed runs).
+Every timed run samples ``/proc/stat procs_blocked`` + 1-min load and
+measures the busy fraction of its own PINNED cores; a run is STALLED
+if blocked-processes spiked >= {BLOCKED_SPIKE}, its wall time is >=
+{OUTLIER}x the level's best, or its pinned-core busy fraction dropped
+below {BUSY_DROP}x the level's best busy (the phantom-stall
+fingerprint: wall time passes while the run's own cores idle — this
+sandbox has documented external multi-10s stalls).  A pass is clean when
 both legs have a clean run; pass efficiency uses each leg's best clean
 run.  Headline = MEDIAN efficiency over the {len(clean)} clean passes
 — not best-of.  Generated
@@ -260,10 +291,14 @@ def _classify(passes, n_pages):
     """-> (clean_pass_dicts, display_table)."""
     best = {lv: _level_best(passes, lv) for lv in LEVELS}
 
+    best_busy = {lv: max((r.get("busy_frac", 1.0) for p in passes
+                          for r in p[lv]), default=1.0) for lv in LEVELS}
+
     def clean_runs(p, lv):
         return [r for r in p[lv]
                 if r["max_blocked"] < BLOCKED_SPIKE
-                and r["sec"] < OUTLIER * best[lv]]
+                and r["sec"] < OUTLIER * best[lv]
+                and r.get("busy_frac", 1.0) >= BUSY_DROP * best_busy[lv]]
 
     clean, table = [], []
     for i, p in enumerate(passes):
