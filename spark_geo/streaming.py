@@ -141,3 +141,42 @@ def run_to_update_memory(stream_df: DataFrame, name: str):
     stream_sessionize whose output mode must be 'update')."""
     return (stream_df.writeStream.format("memory")
             .queryName(name).outputMode("update").start())
+
+
+def stream_exact_dedup(pages_stream: DataFrame, *,
+                       text_col: str = "text",
+                       ts_col: str = "warc_ts",
+                       watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact deduplication — the ingest-time half of the
+    batch dedup family (text.exact_dedup): keep the FIRST arrival of
+    each distinct text within the watermark horizon, drop later
+    copies.
+
+    Hash-first like the batch operator: the dedup state key is
+    sha2(text) (64 hex chars), never the raw text, so the state store
+    and the dedup shuffle stay ~72 B/row regardless of document size.
+    ``dropDuplicates`` with a watermark bounds state: a duplicate
+    arriving later than the watermark re-admits (the documented
+    trade of windowed streaming dedup — exact global dedup is the
+    batch operator's job; at 100 TB/day the horizon bounds state to
+    the day's distinct hashes)."""
+    return (pages_stream
+            .withColumn("_ch", F.sha2(F.col(text_col), 256))
+            .withWatermark(ts_col, watermark)
+            .dropDuplicates(["_ch"])
+            .drop("_ch"))
+
+
+def stream_quality_filter(pages_stream: DataFrame, *,
+                          text_col: str = "text",
+                          min_len: int = 200,
+                          max_punct_ratio: float = 0.2) -> DataFrame:
+    """Streaming form of the batch quality gate (text.quality_scores
+    thresholds) — pure Catalyst expressions, so the SAME predicate
+    runs in both execution modes with no code fork."""
+    t = F.col(text_col)
+    punct = F.length(F.regexp_replace(t, "[\\p{L}\\p{N}\\s]", ""))
+    return (pages_stream
+            .where(t.isNotNull() & (F.length(t) >= min_len))
+            .where((punct / F.greatest(F.length(t), F.lit(1)))
+                   <= max_punct_ratio))

@@ -152,3 +152,54 @@ def test_symmetric_difference_all_reduce_semantics(spark):
     np.testing.assert_allclose(areas[2], 9.0)   # identity on singleton
     # overlapping: (4x2) symdiff (4x2 shifted) = union minus 2x overlap
     np.testing.assert_allclose(areas[3], 12.0 - 4.0, atol=1e-6)
+
+
+def test_stream_exact_dedup(spark, tmp_path):
+    """First arrival of each distinct text survives; later byte-copies
+    within the watermark are dropped; state key is the hash."""
+    src = str(tmp_path / "dedup_src")
+    import datetime
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    rows = []
+    for i in range(60):
+        body = f"doc body {i % 20}"  # 20 distinct texts, 3 copies each
+        rows.append((f"u{i}", t0 + datetime.timedelta(seconds=i),
+                     None, body, "en"))
+    spark.createDataFrame(rows, ST.PAGES_SCHEMA) \
+        .write.mode("overwrite").parquet(src)
+    stream = ST.read_pages_stream(spark, src)
+    dd = ST.stream_exact_dedup(stream, watermark="1 hour")
+    assert dd.isStreaming
+    q = dd.writeStream.format("memory").queryName("dedup_test") \
+        .outputMode("append").start()
+    try:
+        q.processAllAvailable()
+        out = spark.sql("select text from dedup_test").collect()
+        texts = [r["text"] for r in out]
+        assert len(texts) == 20 and len(set(texts)) == 20
+    finally:
+        q.stop()
+
+
+def test_stream_quality_filter(spark, tmp_path):
+    src = str(tmp_path / "quality_src")
+    import datetime
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    long_ok = "word " * 60                      # 300 chars, no punct
+    too_short = "tiny text"
+    too_puncty = ("@#$% " * 60)                 # punct ratio 0.8
+    rows = [("a", t0, None, long_ok, "en"),
+            ("b", t0, None, too_short, "en"),
+            ("c", t0, None, too_puncty, "en"),
+            ("d", t0, None, None, "en")]
+    spark.createDataFrame(rows, ST.PAGES_SCHEMA) \
+        .write.mode("overwrite").parquet(src)
+    out = ST.stream_quality_filter(ST.read_pages_stream(spark, src))
+    q = out.writeStream.format("memory").queryName("qf_test") \
+        .outputMode("append").start()
+    try:
+        q.processAllAvailable()
+        urls = {r["url"] for r in spark.sql("select url from qf_test").collect()}
+        assert urls == {"a"}
+    finally:
+        q.stop()
