@@ -91,8 +91,9 @@ def bench_dedup(spark, sf_dir):
     from spark_geo import text as TX
     _force(E.q_dedup_exact(spark, sf_dir))
     d = E._load(spark, sf_dir, "documents").select("doc_id", "text")
-    _force(TX.lsh_candidate_pairs(d, n_hashes=32, bands=4)
-           .orderBy("da", "db"))
+    # no orderBy: dedup output is an unordered pair set; sorting into a
+    # noop sink measured a range exchange no production plan pays
+    _force(TX.lsh_candidate_pairs(d, n_hashes=32, bands=4))
 
 
 def bench_ann(spark, sf_dir):
