@@ -659,7 +659,8 @@ def q_cell_join_pip(spark, sf_dir):
         F.col("c_custkey").alias("left_id"), F.col("point").alias("geom"))
     layer = _nation_boxes(spark, sf_dir).select(
         F.col("polygon_id").alias("right_id"), "geom")
-    j = SJ.cell_spatial_join(pts, layer, predicate="intersects", res=5)
+    j = SJ.cell_spatial_join(pts, layer, predicate="intersects", res=5,
+                             left_is_points=True)
     return (j.select(F.col("left_id").alias("c_custkey"),
                      F.col("right_id").alias("polygon_id"))
             .orderBy("c_custkey", "polygon_id"))
@@ -675,7 +676,7 @@ def q_cell_join_dwithin(spark, sf_dir):
     supp = _supp_points(spark, sf_dir).select(
         F.col("s_suppkey").alias("right_id"), F.col("point").alias("geom"))
     j = SJ.cell_spatial_join(pts, supp, predicate="dwithin",
-                             distance=DWITHIN_D, res=4)
+                             distance=DWITHIN_D, res=4, left_is_points=True)
     return (j.select(F.col("left_id").alias("c_custkey"),
                      F.col("right_id").alias("s_suppkey"))
             .orderBy("c_custkey", "s_suppkey"))

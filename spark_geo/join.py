@@ -339,7 +339,7 @@ def cell_spatial_join(left: DataFrame, right: DataFrame, *,
                       left_geom: str = "geom", right_geom: str = "geom",
                       left_id: str = "left_id", right_id: str = "right_id",
                       res: int = 7, distance: float | None = None,
-                      left_is_points: bool = True) -> DataFrame:
+                      left_is_points: bool = False) -> DataFrame:
     """Large✕large spatial join: coarse cell equi-join (Catalyst
     sort-merge; AQE skew split) + exact refine + pair dedup.
 
@@ -354,7 +354,14 @@ def cell_spatial_join(left: DataFrame, right: DataFrame, *,
     "prepare" trick) instead of re-parsing WKB per candidate pair.
     Pair dedup runs on the id-only frame (and, for exploded covers,
     again after the selective refine), so no full-width exchange ever
-    happens."""
+    happens.
+
+    ``left_is_points=True`` is an opt-in fast path (single-cell
+    assignment, 16 B lon/lat carried through the candidate shuffle,
+    vectorized point refine) that is only correct when EVERY left
+    geometry is a point — the general default handles any geometry
+    (a polygon left under the point path would silently yield NaN
+    coordinates and drop rows, so correctness must be the default)."""
     id_fields = [T.StructField("_lid", left.schema[left_id].dataType),
                  T.StructField("_rid", right.schema[right_id].dataType)]
     rg = right.select(F.col(right_id).alias("_rid"),
@@ -435,8 +442,13 @@ def _cell_refine_geoms(predicate, distance, schema):
 
     def run(batches):
         for pdf in batches:
+            # null _lid would factorize to code -1 and corrupt the
+            # first[]-gather below (ADVICE r3) — such rows can never
+            # satisfy a predicate anyway, drop them up front
+            pdf = pdf[pdf["_lid"].notna()]
             if not len(pdf):
                 continue
+            pdf = pdf.reset_index(drop=True)
             rraw = pdf["_rgeom"].to_numpy()
             lraw = pdf["_lgeom"].to_numpy()
             codes, uniq_rows = pd.factorize(pdf["_lid"].to_numpy())
@@ -517,6 +529,7 @@ def spatial_join(left: DataFrame, right: DataFrame, *,
                  left_id: str = "left_id", right_id: str = "right_id",
                  strategy: str = "auto", res: int = 7,
                  distance: float | None = None,
+                 left_is_points: bool = False,
                  broadcast_threshold: int = 200_000) -> DataFrame:
     """Plan chooser: broadcast STRtree when the right side is small
     (counted once — at 100 TB the layer cardinality is metadata),
@@ -534,4 +547,4 @@ def spatial_join(left: DataFrame, right: DataFrame, *,
     return cell_spatial_join(
         left, right, predicate=predicate, left_geom=left_geom,
         right_geom=right_geom, left_id=left_id, right_id=right_id,
-        res=res, distance=distance)
+        res=res, distance=distance, left_is_points=left_is_points)

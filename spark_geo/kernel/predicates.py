@@ -394,8 +394,10 @@ def covers(a: Geom | None, b: Geom | None) -> bool:
                     return False
         # holes of a swallowed whole by polygonal b: b's boundary never
         # enters such a hole (the split-midpoint test above catches the
-        # partial case), so probe one interior point per hole — if it
-        # lands strictly inside b's interior, b has points outside a.
+        # partial case), so probe the hole region — one probe per
+        # even-odd interval per vertex band of (hole − islands of a),
+        # so islands of a partially filling the hole cannot absorb the
+        # single witness point (ADVICE r3 high).
         if _is_polygonal(b) and b.dimensions() == 2:
             bb = b.bounds()
             for poly in _iter_polygons(a):
@@ -406,13 +408,67 @@ def covers(a: Geom | None, b: Geom | None) -> bool:
                     hx1, hy1 = hole[:, 0].max(), hole[:, 1].max()
                     if hx1 < bb[0] or bb[2] < hx0 or hy1 < bb[1] or bb[3] < hy0:
                         continue
-                    rep = _ring_interior_point(hole)
-                    if rep is not None and _points_in_interior(rep, b).any() \
-                            and not _points_covered(rep, a).any():
-                        # not covered by a: islands of a filling the
-                        # hole (multipolygon) keep coverage intact
+                    reps = _hole_probe_points(hole, a)
+                    if not len(reps):
+                        continue
+                    hot = _points_in_interior(reps, b) \
+                        & ~_points_covered(reps, a)
+                    if bool(hot.any()):
                         return False
     return True
+
+
+def _hole_probe_points(hole: np.ndarray, a: Geom) -> np.ndarray:
+    """Probe points hitting EVERY connected component of (interior of
+    ``hole``) − (parts of ``a`` nested inside the hole).  Even-odd band
+    sweep: the hole ring plus every ring of each a-polygon whose shell
+    lies inside the hole; at the midline of each gap between
+    consecutive distinct vertex y-levels, emit the midpoint of every
+    inside interval.  Any positive-area component of the region fully
+    spans at least one such band (its boundary is made of these rings'
+    segments), so it yields at least one probe — a single per-hole
+    probe could land on an island and miss uncovered hole area."""
+    rings = [hole]
+    hx0, hy0 = hole[:, 0].min(), hole[:, 1].min()
+    hx1, hy1 = hole[:, 0].max(), hole[:, 1].max()
+    hx1r, hy1r = hole[:-1, 0], hole[:-1, 1]
+    hx2r, hy2r = hole[1:, 0], hole[1:, 1]
+    for p in _iter_polygons(a):
+        shell = p.rings[0]
+        if len(shell) < 4:
+            continue
+        sx, sy = shell[0, 0], shell[0, 1]
+        if sx < hx0 or sx > hx1 or sy < hy0 or sy > hy1:
+            continue
+        crossing = (hy1r > sy) != (hy2r > sy)
+        if not crossing.any():
+            continue
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xs = hx1r[crossing] + (sy - hy1r[crossing]) * \
+                (hx2r[crossing] - hx1r[crossing]) / \
+                (hy2r[crossing] - hy1r[crossing])
+        if int((xs > sx).sum()) % 2 == 1:  # shell starts inside hole
+            rings.extend(r for r in p.rings if len(r) >= 4)
+    allseg = np.vstack([np.hstack([r[:-1], r[1:]]) for r in rings])
+    ys = np.unique(np.concatenate([r[:, 1] for r in rings]))
+    x1, y1, x2, y2 = allseg[:, 0], allseg[:, 1], allseg[:, 2], allseg[:, 3]
+    out = []
+    for yc in (ys[:-1] + ys[1:]) / 2.0:
+        crossing = (y1 > yc) != (y2 > yc)
+        if not crossing.any():
+            continue
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xs = np.sort(x1[crossing] + (yc - y1[crossing]) *
+                         (x2[crossing] - x1[crossing]) /
+                         (y2[crossing] - y1[crossing]))
+        n2 = len(xs) // 2 * 2
+        if not n2:
+            continue
+        w = xs[1:n2:2] - xs[0:n2:2]
+        mids = ((xs[0:n2:2] + xs[1:n2:2]) / 2.0)[w > 0]
+        if len(mids):
+            out.append(np.column_stack([mids, np.full(len(mids), yc)]))
+    return np.vstack(out) if out else np.empty((0, 2))
 
 
 def covered_by(a, b) -> bool:

@@ -285,6 +285,11 @@ def _cell_nearest_all_geoms(left: DataFrame, right: DataFrame, *,
             d = d.where(F.col("_d") <= max_distance)
         return d.select("_lid", "_rid", "_d").where(~F.isnan("_d"))
 
+    # per-round localCheckpoint (same discipline as text.
+    # connected_components): each round's d0 is materialized once and
+    # its lineage truncated, and `remaining` never accumulates a chain
+    # of left_anti joins that the limit(1).count() probe would replay
+    # in full every round (ADVICE r3).
     remaining = l_cov
     seeds = None
     k = 0
@@ -297,11 +302,15 @@ def _cell_nearest_all_geoms(left: DataFrame, right: DataFrame, *,
             .select("_lid", "_cell").dropDuplicates(["_lid", "_cell"]))
         k = k_hi + 1
         d0 = (pair_dists(probes).groupBy("_lid")
-              .agg(F.min("_d").alias("_d0")).cache())
+              .agg(F.min("_d").alias("_d0")).localCheckpoint(eager=True))
         if d0.limit(1).count():
             seeds = d0 if seeds is None else seeds.unionByName(d0)
-            remaining = remaining.join(d0.select("_lid"), "_lid", "left_anti")
+            remaining = (remaining.join(d0.select("_lid"), "_lid",
+                                        "left_anti")
+                         .localCheckpoint(eager=True))
     if seeds is None:
+        l_cov.unpersist(False)
+        r_cells.unpersist(False)
         schema = T.StructType([
             T.StructField(left_id, left.schema[left_id].dataType),
             T.StructField(right_id, right.schema[right_id].dataType),
@@ -316,12 +325,19 @@ def _cell_nearest_all_geoms(left: DataFrame, right: DataFrame, *,
             .select("_lid", "_cell").dropDuplicates(["_lid", "_cell"]))
     cand = pair_dists(disk)
     w = Window.partitionBy("_lid")
-    return (cand.withColumn("_dmin", F.min("_d").over(w))
-            .where(F.col("_d") == F.col("_dmin"))
-            .select(F.col("_lid").alias(left_id),
-                    F.col("_rid").alias(right_id),
-                    F.col("_d").alias("distance"))
-            .dropDuplicates([left_id, right_id]))
+    out = (cand.withColumn("_dmin", F.min("_d").over(w))
+           .where(F.col("_d") == F.col("_dmin"))
+           .select(F.col("_lid").alias(left_id),
+                   F.col("_rid").alias(right_id),
+                   F.col("_d").alias("distance"))
+           .dropDuplicates([left_id, right_id])
+           # materialize, then release the round caches — the operator
+           # is already eager (ring loop), so this adds no extra pass
+           # and the returned frame holds no reference to them
+           .localCheckpoint(eager=True))
+    l_cov.unpersist(False)
+    r_cells.unpersist(False)
+    return out
 
 
 def _shell_range_udf(cell_col, k_lo: int, k_hi: int):

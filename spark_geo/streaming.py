@@ -155,15 +155,18 @@ def stream_exact_dedup(pages_stream: DataFrame, *,
     Hash-first like the batch operator: the dedup state key is
     sha2(text) (64 hex chars), never the raw text, so the state store
     and the dedup shuffle stay ~72 B/row regardless of document size.
-    ``dropDuplicates`` with a watermark bounds state: a duplicate
-    arriving later than the watermark re-admits (the documented
-    trade of windowed streaming dedup — exact global dedup is the
-    batch operator's job; at 100 TB/day the horizon bounds state to
-    the day's distinct hashes)."""
+    ``dropDuplicatesWithinWatermark`` bounds state by the event-time
+    watermark even though the event-time column is NOT part of the key
+    (plain ``dropDuplicates`` on a non-event-time key ignores the
+    watermark and its state grows forever — ADVICE r3): a duplicate
+    arriving later than the horizon re-admits, the documented trade of
+    windowed streaming dedup — exact global dedup is the batch
+    operator's job; at 100 TB/day the horizon bounds state to the
+    day's distinct hashes."""
     return (pages_stream
             .withColumn("_ch", F.sha2(F.col(text_col), 256))
             .withWatermark(ts_col, watermark)
-            .dropDuplicates(["_ch"])
+            .dropDuplicatesWithinWatermark(["_ch"])
             .drop("_ch"))
 
 

@@ -43,6 +43,13 @@ def _drop_hot_buckets(stacked: DataFrame, keys: list[str], max_bucket: int,
     tiny (one row per degenerate bucket) so it collects to the driver
     and anti-joins back as a broadcast.  Dropped buckets are logged and
     reported via ``skew_stats`` — a drop is visible, never silent."""
+    # the hot scan is an eager driver decision, so persist the
+    # signature pipeline first — otherwise it is computed twice (once
+    # here, again under the anti-join / downstream self-join; ADVICE
+    # r3).  The cache also serves the caller's stacked⋈stacked
+    # candidate self-join, which reads it twice more.
+    from pyspark.storagelevel import StorageLevel
+    stacked = stacked.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = stacked.groupBy(*keys).agg(F.count(F.lit(1)).alias("_bsz"))
     hot = sizes.where(F.col("_bsz") > max_bucket)
     hot_rows = hot.collect()

@@ -175,6 +175,10 @@ def ivf_topk(probes: DataFrame, corpus: DataFrame,
         wcell = Window.partitionBy("_cell").orderBy(F.col(corpus_id).asc())
         ranked = c.withColumn("_rk", F.row_number().over(wcell))
         if skew_stats is not None:
+            # the dropped-count probe is an eager job; persist so the
+            # assignment pipeline is not computed twice (ADVICE r3)
+            from pyspark.storagelevel import StorageLevel
+            ranked = ranked.persist(StorageLevel.MEMORY_AND_DISK)
             dropped = ranked.where(F.col("_rk") > max_cell) \
                 .groupBy().count().collect()[0][0]
             skew_stats["dropped_members"] = int(dropped)

@@ -231,6 +231,34 @@ def test_covers_island_in_hole_multipolygon():
     assert not P.covers(mp, gap_probe)
 
 
+def test_covers_island_partially_filling_hole():
+    """ADVICE r3 high: an island PARTIALLY filling the hole must not
+    absorb the hole probe — the uncovered annulus around the island
+    still breaks covers when b spans it."""
+    a = wkt.from_wkt(
+        "MULTIPOLYGON (((0 0, 10 0, 10 10, 0 10, 0 0),"
+        " (2 2, 8 2, 8 8, 2 8, 2 2)), ((4 4, 6 4, 6 6, 4 6, 4 4)))")
+    b = wkt.from_wkt("POLYGON ((1 1, 9 1, 9 9, 1 9, 1 1))")
+    assert not P.covers(a, b)
+    assert not P.contains(a, b)
+    # island exactly filling the hole keeps coverage intact
+    a_full = wkt.from_wkt(
+        "MULTIPOLYGON (((0 0, 10 0, 10 10, 0 10, 0 0),"
+        " (2 2, 8 2, 8 8, 2 8, 2 2)), ((2 2, 8 2, 8 8, 2 8, 2 2)))")
+    assert P.covers(a_full, b)
+    # b entirely outside the hole is unaffected by the island
+    b_side = wkt.from_wkt("POLYGON ((0.2 0.2, 1.8 0.2, 1.8 1.8,"
+                          " 0.2 1.8, 0.2 0.2))")
+    assert P.covers(a, b_side)
+    # island with its OWN hole inside the big hole: that nested void
+    # is outside a, so a b spanning it is not covered
+    a_nested = wkt.from_wkt(
+        "MULTIPOLYGON (((0 0, 10 0, 10 10, 0 10, 0 0),"
+        " (2 2, 8 2, 8 8, 2 8, 2 2)),"
+        " ((2 2, 8 2, 8 8, 2 8, 2 2), (4 4, 6 4, 6 6, 4 6, 4 4)))")
+    assert not P.covers(a_nested, b)
+
+
 def test_is_valid_reason_multipolygon_with_empty_part():
     """ADVICE r2: an empty part must not misalign the shell/part pairing."""
     from spark_geo.kernel import unary as U

@@ -115,7 +115,8 @@ def test_cell_join_equals_broadcast(spark):
                                   left_geom="geom", right_id="right_id")
     c = SJ.cell_spatial_join(pts, layer, predicate="intersects",
                              left_geom="geom", right_geom="geom",
-                             left_id="left_id", right_id="right_id", res=5)
+                             left_id="left_id", right_id="right_id", res=5,
+                             left_is_points=True)
     assert _pairs(b.select("left_id", "right_id")) == _pairs(c)
 
 
@@ -127,7 +128,7 @@ def test_cell_join_dwithin_equals_broadcast(spark, point_tree_df):
                                   distance=1.0, right_id="right_id")
     c = SJ.cell_spatial_join(pts, point_tree_df, predicate="dwithin",
                              distance=1.0, left_id="left_id",
-                             right_id="right_id", res=6)
+                             right_id="right_id", res=6, left_is_points=True)
     assert _pairs(b.select("left_id", "right_id")) == _pairs(c)
 
 
@@ -209,6 +210,30 @@ def test_cell_join_geoms_equals_broadcast(spark):
                                  left_id="left_id", right_id="right_id",
                                  res=4, left_is_points=False)
         assert _pairs(b.select("left_id", "right_id")) == _pairs(c), pred
+
+
+def test_cell_join_default_safe_for_polygons(spark):
+    """r4: the DEFAULT cell_spatial_join path (no left_is_points flag)
+    must be correct for polygon lefts — the point fast path is opt-in
+    (a polygon under it silently dropped pairs)."""
+    lefts = [(i, K_wkb.dumps(Geom.box(-30 + i * 7.0, -20 + i * 5.0,
+                                      -27 + i * 7.0, -17 + i * 5.0)))
+             for i in range(8)]
+    left = spark.createDataFrame(lefts, "left_id long, geom binary")
+    boxes = [(j, K_wkb.dumps(Geom.box(-32 + j * 11.0, -22 + j * 8.0,
+                                      -28 + j * 11.0, -18 + j * 8.0)))
+             for j in range(6)]
+    layer = spark.createDataFrame(boxes, "right_id long, geom binary")
+    b = SJ.broadcast_spatial_join(left, layer, predicate="intersects",
+                                  right_id="right_id")
+    c = SJ.cell_spatial_join(left, layer, predicate="intersects",
+                             left_id="left_id", right_id="right_id", res=5)
+    s = SJ.spatial_join(left, layer, predicate="intersects",
+                        left_id="left_id", right_id="right_id",
+                        strategy="cell", res=5)
+    want = _pairs(b.select("left_id", "right_id"))
+    assert _pairs(c) == want
+    assert _pairs(s) == want
 
 
 def test_cell_join_geoms_scalar_fallback_predicate(spark):
