@@ -8,59 +8,145 @@ local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
 The flagship measurement is the north-star workload: synthesize a
 CC-style pages table sized to the scale factor (1 page per lineitem
 row), geocode → point → cell-encode → broadcast-STRtree join against a
-290-polygon world layer → per-region tile aggregation.  Page synthesis
-is column arithmetic standing in for the 100 TB scan.
+world layer → per-region tile aggregation.  Page synthesis is column
+arithmetic standing in for the 100 TB scan.
 
-Protocol (round 2+): every query is warmed up before timing —
-steady-state throughput, the regime a long-running cluster job
-operates in (round 1 timed suite queries one-shot, which mixed Python
-worker spin-up into the numbers).  Round 3: suite queries are
-1 warmup + 3 timed runs and the flagship 1 warmup + 5; both report the
-BEST run with every sample published (``query_runs`` /
-``flagship_runs``) — this box's documented external D-state stalls hit
-individual runs at random (identical flagship jobs spread like
-[10.6, 4.8, 1.9, 3.4, 1.8]) and make a median meaningless; the minimum
-is the reproducible number a clean machine gives (see BENCH/BASELINE.md
-controls).  Inputs are repartitioned to emulate the multi-split scan a
-real multi-file table provides (the sf parquet is a single
-unsplittable row group), floored at ~2048 rows/split so small
-dimension tables don't pay an exchange into near-empty tasks no real
-scan would produce.
+Protocol (round 4) — the same stall-discard + median-of-clean
+discipline as scripts/bench_scaling.py (VERDICT r3 item 1):
+
+* Every timed run samples ``/proc/stat procs_blocked`` and measures
+  the busy fraction of the session's cores while it executes, so this
+  sandbox's documented external stalls (D-state pileups; the phantom
+  stall where wall time passes with idle CPU) are DETECTED, not
+  inferred.  A run is STALLED if blocked-processes spiked >= 4, its
+  wall time is >= 1.4x the query's best run, or its busy fraction
+  dropped below 0.8x the query's best.  The reported statistic is the
+  MEDIAN over clean runs (all samples + markers published); min-of-N
+  (round 3) could hide regressions and median-of-all (rounds 1-2)
+  blended stalls in.
+* The flagship runs in a FRESH taskset-pinned subprocess session:
+  round 3's flagship numbers came from a session with 450+ accumulated
+  stages and contradicted the same-day scaling harness by 4x on
+  byte-identical code.  A fresh session is also the production shape —
+  the flagship job ships via spark-submit, it does not run after seven
+  other query families in one driver.
+* Inputs are repartitioned to emulate the multi-split scan a real
+  multi-file table provides (the sf parquet is a single unsplittable
+  row group), floored by BYTES per split (64 KB at these SFs) so
+  CPU-heavy small tables keep their parallelism while nation-sized
+  dims stay at one split (see __spark_entry__._load).
+* ``SPARK_GRAFT_SF1_PAGES`` (default 6,000,000) adds one flagship
+  measurement at 10x the sf0.1 page count in the same fresh session —
+  data-scaling evidence alongside the core-scaling harness.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
+import subprocess
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from pyspark.sql import functions as F
+REPO = os.path.dirname(os.path.abspath(__file__))
+BLOCKED_SPIKE = 4
+OUTLIER = 1.4
+BUSY_DROP = 0.8
+
+
+def _cpu_jiffies(ncores):
+    busy = total = 0
+    with open("/proc/stat") as f:
+        for line in f:
+            if line.startswith("cpu") and not line.startswith("cpu "):
+                idx = int(line[3:line.index(" ")])
+                if idx >= ncores:
+                    continue
+                v = [int(x) for x in line.split()[1:]]
+                total += sum(v)
+                busy += sum(v) - v[3] - v[4]
+    return busy, total
+
+
+class StallSampler:
+    """Stall fingerprints for one timed run (see scripts/
+    bench_scaling.py): (a) /proc/stat procs_blocked spikes every 0.5s;
+    (b) busy fraction of the first ``ncores`` cores over the run."""
+
+    def __init__(self, ncores):
+        self.ncores = ncores
+        self.max_blocked = 0
+        self.busy_frac = 1.0
+        self._stop = threading.Event()
+        self._t = threading.Thread(target=self._loop, daemon=True)
+
+    def _loop(self):
+        while not self._stop.is_set():
+            try:
+                with open("/proc/stat") as f:
+                    for line in f:
+                        if line.startswith("procs_blocked"):
+                            self.max_blocked = max(self.max_blocked,
+                                                   int(line.split()[1]))
+                            break
+            except OSError:
+                pass
+            self._stop.wait(0.5)
+
+    def __enter__(self):
+        self._j0 = _cpu_jiffies(self.ncores)
+        self._t.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop.set()
+        self._t.join(timeout=2)
+        b1, t1 = _cpu_jiffies(self.ncores)
+        db, dt = b1 - self._j0[0], t1 - self._j0[1]
+        self.busy_frac = round(db / dt, 3) if dt > 0 else 1.0
+
+
+def timed_runs(fn, ncores, n_runs=4):
+    """1 warmup + ``n_runs`` sampled timed runs -> list of run dicts."""
+    fn()  # warmup: codegen + python-worker spin-up out of the timing
+    runs = []
+    for _ in range(n_runs):
+        with StallSampler(ncores) as s:
+            t0 = time.perf_counter()
+            fn()
+            sec = time.perf_counter() - t0
+        runs.append({"sec": round(sec, 3), "max_blocked": s.max_blocked,
+                     "busy_frac": s.busy_frac})
+    return runs
+
+
+def median_of_clean(runs):
+    """(median_sec, clean_count): discard stall-marked runs by the
+    bench_scaling criteria, median the rest; all-stalled falls back to
+    the minimum (marked by clean_count=0).  The busy-fraction
+    fingerprint (phantom stall: wall time with idle pinned cores) only
+    applies to runs that normally saturate — short scheduling-bound
+    queries legitimately idle their cores, so for them busy variance
+    is noise, not a stall."""
+    best = min(r["sec"] for r in runs)
+    best_busy = max(r["busy_frac"] for r in runs)
+    check_busy = best_busy >= 0.6
+    clean = [r["sec"] for r in runs
+             if r["max_blocked"] < BLOCKED_SPIKE
+             and r["sec"] < OUTLIER * best
+             and (not check_busy
+                  or r["busy_frac"] >= BUSY_DROP * best_busy)]
+    if not clean:
+        return best, 0
+    return statistics.median(clean), len(clean)
 
 
 def _force(df):
     df.write.format("noop").mode("overwrite").save()
-
-
-def bench_flagship(spark, sf_dir, n_pages, runs=5):
-    """Warmup + ``runs`` timed runs; reports BEST with every sample
-    published (``flagship_runs``).  This box has documented external
-    multi-10s D-state stalls that can hit 2 of 3 runs (identical jobs
-    spread like [1.9, 12.0, 34.1]); the minimum is the reproducible
-    steady-state number a clean machine gives, and publishing all
-    samples keeps the statistic honest (BENCH/BASELINE.md controls)."""
-    from spark_geo import pipeline as PL
-    pages = PL.synth_pages(spark, n_pages, partitions=64)
-    layer = PL.make_world_layer(spark)
-    _force(PL.flagship(pages, layer, res=7))  # warmup: codegen + workers
-    times = []
-    for _ in range(runs):
-        t0 = time.perf_counter()
-        _force(PL.flagship(pages, layer, res=7))
-        times.append(time.perf_counter() - t0)
-    return min(times), [round(t, 3) for t in times]
 
 
 def bench_pip_join(spark, sf_dir):
@@ -107,13 +193,70 @@ def bench_text(spark, sf_dir):
     _force(E.q_events_sessionize(spark, sf_dir))
 
 
+_FLAGSHIP_JOB = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+import bench as B
+from spark_geo.session import get_spark
+from spark_geo import pipeline as PL
+
+cpus = {cpus}
+spark = get_spark(cores=cpus, shuffle_partitions=max(cpus, 32),
+                  app="spark_geo_bench_flagship")
+out = {{}}
+for tag, n in {sizes!r}.items():
+    pages = PL.synth_pages(spark, n, partitions=max(cpus * 2, 64))
+    layer = PL.make_world_layer(spark)
+    def job():
+        B._force(PL.flagship(pages, layer, res=7))
+    job()  # extra warmup: worker-heap first-touch faults (see memory)
+    out[tag] = {{"pages": n, "runs": B.timed_runs(job, cpus, n_runs={runs})}}
+print("FLAGSHIP_JSON " + json.dumps(out))
+"""
+
+
+def run_flagship_fresh(cpus, sizes, runs=5):
+    """Flagship in a fresh taskset-pinned subprocess session (see
+    module docstring)."""
+    code = _FLAGSHIP_JOB.format(repo=REPO, cpus=cpus, sizes=sizes,
+                                runs=runs)
+    cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c", code]
+    env = dict(os.environ)
+    out = subprocess.run(cmd, capture_output=True, text=True,
+                         timeout=3000, env=env)
+    if out.returncode != 0:
+        raise RuntimeError(out.stderr[-3000:])
+    for line in out.stdout.strip().splitlines()[::-1]:
+        if line.startswith("FLAGSHIP_JSON "):
+            return json.loads(line[len("FLAGSHIP_JSON "):])
+    raise RuntimeError("no FLAGSHIP_JSON line in flagship subprocess")
+
+
+def _pin_self(cpus):
+    """Re-exec under taskset so the whole session (JVM + Python
+    workers) is pinned to exactly ``cpus`` cores — an honest
+    N-executor emulation (same rationale as bench_scaling.run_level)
+    and the precondition for the busy-fraction stall fingerprint."""
+    if os.environ.get("SPARK_GRAFT_BENCH_PINNED") == "1":
+        return
+    import shutil
+    if not shutil.which("taskset"):
+        return
+    os.environ["SPARK_GRAFT_BENCH_PINNED"] = "1"
+    os.execvp("taskset", ["taskset", "-c", f"0-{cpus - 1}",
+                          sys.executable] + sys.argv)
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    _pin_self(cpus)
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+    from pyspark.sql import functions as F
     from spark_geo.session import get_spark
     from spark_geo import functions as SG
-    spark = get_spark(cores=cpus, shuffle_partitions=max(cpus, 32), app="spark_geo_bench")
+    spark = get_spark(cores=cpus, shuffle_partitions=max(cpus, 32),
+                      app="spark_geo_bench")
     # JVM + Python-worker warmup outside timing (steady-state regime)
     spark.range(100_000, numPartitions=64).select(
         SG.st_x(SG.st_point(F.rand(), F.rand()))
@@ -122,16 +265,8 @@ def main():
     n_pages = int(os.environ.get("SPARK_GRAFT_PAGES", "0")) or \
         spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
     sf = round(n_pages / 6_000_000, 4)
+    sf1_pages = int(os.environ.get("SPARK_GRAFT_SF1_PAGES", "6000000"))
 
-    flagship_median = {}
-
-    def run_flagship():
-        best, samples = bench_flagship(spark, sf_dir, n_pages)
-        flagship_median["sec"] = best
-        flagship_median["runs"] = samples
-
-    # flagship LAST: its 600k-page warm+timed runs leave a large worker
-    # pool that inflates later small-query timings on this box
     suite = {
         "pip_join": lambda: bench_pip_join(spark, sf_dir),
         "dwithin_join": lambda: bench_dwithin(spark, sf_dir),
@@ -140,10 +275,12 @@ def main():
         "dedup": lambda: bench_dedup(spark, sf_dir),
         "ann_topk": lambda: bench_ann(spark, sf_dir),
         "text_events": lambda: bench_text(spark, sf_dir),
-        "flagship_pages": run_flagship,
     }
+    want_flagship = True
     if only:
-        suite = {k: v for k, v in suite.items() if k in only.split(",")}
+        keys = only.split(",")
+        suite = {k: v for k, v in suite.items() if k in keys}
+        want_flagship = "flagship_pages" in keys or not keys
 
     # emulate the multi-split scan a 100 TB table provides (the sf
     # parquet is one unsplittable row group; see __spark_entry__._load)
@@ -151,23 +288,34 @@ def main():
 
     times = {}
     all_runs = {}
+    clean_counts = {}
     for name, fn in suite.items():
-        if name == "flagship_pages":
-            fn()  # handles its own warmup + median
-            times[name] = 0.0
-            continue
-        fn()  # warmup: worker spin-up + codegen out of the timing
-        samples = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            fn()
-            samples.append(time.perf_counter() - t0)
-        # BEST of 3, all samples published: external D-state stalls on
-        # this box hit individual runs at random (see flagship note)
-        all_runs[name] = [round(t, 3) for t in samples]
-        times[name] = round(min(samples), 3)
-    if "sec" in flagship_median:
-        times["flagship_pages"] = round(flagship_median["sec"], 3)
+        runs = timed_runs(fn, cpus, n_runs=4)
+        all_runs[name] = runs
+        med, n_clean = median_of_clean(runs)
+        times[name] = round(med, 3)
+        clean_counts[name] = n_clean
+
+    flagship_info = {}
+    if want_flagship:
+        sizes = {"sf": n_pages}
+        if sf1_pages and sf1_pages != n_pages:
+            sizes["sf1"] = sf1_pages
+        fres = run_flagship_fresh(cpus, sizes, runs=5)
+        med, n_clean = median_of_clean(fres["sf"]["runs"])
+        times["flagship_pages"] = round(med, 3)
+        clean_counts["flagship_pages"] = n_clean
+        all_runs["flagship_pages"] = fres["sf"]["runs"]
+        flagship_info["pages_per_sec"] = round(n_pages / med, 1)
+        if "sf1" in fres:
+            med1, n1 = median_of_clean(fres["sf1"]["runs"])
+            flagship_info["sf1_pages"] = fres["sf1"]["pages"]
+            flagship_info["sf1_sec"] = round(med1, 3)
+            flagship_info["sf1_clean_runs"] = n1
+            flagship_info["sf1_pages_per_sec"] = round(
+                fres["sf1"]["pages"] / med1, 1)
+            all_runs["flagship_sf1"] = fres["sf1"]["runs"]
+
     total = round(sum(times.values()), 3)
     result = {
         "metric": "spatial-join + tile-assignment suite wall time",
@@ -176,12 +324,14 @@ def main():
         "queries": times,
         "sf": sf,
         "pages": n_pages,
-        "pages_per_sec": round(n_pages / times["flagship_pages"], 1)
-        if "flagship_pages" in times else None,
-        "flagship_runs": flagship_median.get("runs"),
+        "pages_per_sec": flagship_info.get("pages_per_sec"),
+        "statistic": "median-of-clean (stall-discard; see bench.py)",
+        "clean_runs": clean_counts,
         "query_runs": all_runs,
         "cpus": cpus,
     }
+    result.update({f"flagship_{k}": v for k, v in flagship_info.items()
+                   if k != "pages_per_sec"})
     print(json.dumps(result))
 
 

@@ -745,10 +745,11 @@ def _sh_clip_ring_convex(subject: np.ndarray, clip_ring: np.ndarray) -> np.ndarr
 def intersection(a: Geom | None, b: Geom | None) -> Geom | None:
     """Geometric intersection (reference set_operations.py:79-131).
 
-    v1 scope: either operand a CONVEX polygon (covers the reference's
-    tiling/clipping workloads: boxes, buffered discs, convex cells) or
-    disjoint/contained fast paths.  General concave∩concave overlay is
-    deferred (SURVEY.md §7.2)."""
+    Fast paths: disjoint/contained, convex-polygon clipping.
+    General polygon✕polygon goes through the Greiner–Hormann overlay;
+    any pair involving a 0/1-dimensional operand goes through the
+    exact split-and-classify line overlay (kernel.lineoverlay, r4 —
+    closes the line✕line / line✕polygon NULL-degrade of VERDICT r3)."""
     from . import predicates as P
 
     if a is None or b is None:
@@ -772,11 +773,9 @@ def intersection(a: Geom | None, b: Geom | None) -> Geom | None:
                 if not parts:
                     return Geom(GEOMETRYCOLLECTION)
                 return parts[0] if len(parts) == 1 else Geom(MULTIPOLYGON, parts=parts)
-            if subject.type_id in (LINESTRING, LINEARRING, MULTILINESTRING):
-                xmin, ymin, xmax, ymax = clip.bounds()
-                # exact only for axis boxes; for general convex defer
-                if _is_axis_box(clip):
-                    return clip_by_rect(subject, xmin, ymin, xmax, ymax)
+            # lineal subjects: fall through to the exact line overlay
+            # (clip_by_rect drops tangent touch points a true
+            # intersection must keep)
             if subject.type_id in (POINT, MULTIPOINT):
                 pts = [p for p in (subject.parts or [subject])
                        if not p.is_empty and P.intersects(p, clip)]
@@ -787,9 +786,8 @@ def intersection(a: Geom | None, b: Geom | None) -> Geom | None:
     if a.type_id in (POLYGON, MULTIPOLYGON) and b.type_id in (POLYGON, MULTIPOLYGON):
         from . import overlay as O
         return O.overlay(a, b, "intersection")
-    raise NotImplementedError(
-        "intersection of non-polygonal concave operands not implemented in v1 "
-        "(SURVEY.md §7.2)")
+    from . import lineoverlay as LO
+    return LO.line_overlay(a, b, "intersection")
 
 
 def _is_axis_box(g: Geom) -> bool:
@@ -815,24 +813,30 @@ def difference(a: Geom | None, b: Geom | None) -> Geom | None:
     if a.type_id in (POLYGON, MULTIPOLYGON) and b.type_id in (POLYGON, MULTIPOLYGON):
         from . import overlay as O
         return O.overlay(a, b, "difference")
-    raise NotImplementedError(
-        "difference of non-polygonal operands not implemented in v1 (SURVEY.md §7.2)")
+    from . import lineoverlay as LO
+    return LO.line_overlay(a, b, "difference")
 
 
 def symmetric_difference(a: Geom | None, b: Geom | None) -> Geom | None:
     """Symmetric difference (reference set_operations.py:168-222)."""
     if a is None or b is None:
         return None
-    from . import overlay as O
-    return O.overlay(a, b, "symmetric_difference")
+    if a.dimensions() == 2 and b.dimensions() == 2:
+        from . import overlay as O
+        return O.overlay(a, b, "symmetric_difference")
+    from . import lineoverlay as LO
+    return LO.line_overlay(a, b, "symmetric_difference")
 
 
 def union(a: Geom | None, b: Geom | None) -> Geom | None:
     """Binary union (reference set_operations.py:258-312)."""
     if a is None or b is None:
         return None
-    from . import overlay as O
-    return O.overlay(a, b, "union")
+    if a.dimensions() == 2 and b.dimensions() == 2:
+        from . import overlay as O
+        return O.overlay(a, b, "union")
+    from . import lineoverlay as LO
+    return LO.line_overlay(a, b, "union")
 
 
 def oriented_envelope(g: Geom | None) -> Geom | None:
