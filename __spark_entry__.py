@@ -748,6 +748,28 @@ def q_cell_join_geoms(spark, sf_dir):
             .orderBy("s_suppkey", "polygon_id"))
 
 
+def q_cell_join_contains(spark, sf_dir):
+    """Containment-family cell join (r4): supplier boxes WITHIN nation
+    boxes through the two-phase join's batch containment kernel
+    (kernel.predicates._batch_containment — vectorized exact-negative
+    filter, scalar verify only on survivors; VERDICT r3 item 3).  Box
+    nesting has an exact interval oracle; edge-touching nested boxes
+    still count (within allows boundary contact)."""
+    ship_package(spark)
+    s = _supp_points(spark, sf_dir)
+    boxes_l = s.select(
+        F.col("s_suppkey").alias("left_id"),
+        SG.st_make_box(F.col("lon"), F.col("lat"),
+                       F.col("lon") + 9.75, F.col("lat") + 7.25).alias("geom"))
+    layer = _nation_boxes(spark, sf_dir).select(
+        F.col("polygon_id").alias("right_id"), "geom")
+    j = SJ.cell_spatial_join(boxes_l, layer, predicate="within",
+                             res=4, left_is_points=False)
+    return (j.select(F.col("left_id").alias("s_suppkey"),
+                     F.col("right_id").alias("polygon_id"))
+            .orderBy("s_suppkey", "polygon_id"))
+
+
 # staircase polygon offsets (x, y from the nation slot origin): a
 # CONCAVE rectilinear hexagon (40x30 block + 28x16 step) with a 12x12
 # hole — every edge at +0.125 so no 0.25-lattice point ever sits on a
@@ -990,6 +1012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_join_pip": q_cell_join_pip,
         "cell_join_dwithin": q_cell_join_dwithin,
         "cell_join_geoms": q_cell_join_geoms,
+        "cell_join_contains": q_cell_join_contains,
         "irregular_pip": q_irregular_pip,
         "coverage_union_area": q_coverage_union_area,
         "setops_all": q_setops_all,
@@ -1303,6 +1326,15 @@ def oracle_sql() -> dict[str, str]:
              AND {BOX_X0} <= {SUPP_LON} + 9.75
              AND {SUPP_LAT} <= {BOX_Y0} + 34.0
              AND {BOX_Y0} <= {SUPP_LAT} + 7.25
+            ORDER BY 1, 2
+        """,
+        "cell_join_contains": f"""
+            SELECT s.s_suppkey, n.n_nationkey::BIGINT AS polygon_id
+            FROM supplier s JOIN nation n
+              ON {SUPP_LON} >= {BOX_X0}
+             AND {SUPP_LON} + 9.75 <= {BOX_X0} + 70.0
+             AND {SUPP_LAT} >= {BOX_Y0}
+             AND {SUPP_LAT} + 7.25 <= {BOX_Y0} + 34.0
             ORDER BY 1, 2
         """,
         "irregular_pip": f"""

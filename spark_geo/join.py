@@ -504,20 +504,33 @@ def _left_cells(geom_col, res, distance, is_points):
 
     @pandas_udf(T.ArrayType(T.LongType()))
     def _expand(b: pd.Series) -> pd.Series:
-        out = []
-        for v in b:
-            if v is None:
-                out.append(None)
-                continue
-            g = SG._loads_safe(v)
+        # per-geometry cover (decode is inherently per-row), then ONE
+        # batch-vectorized k-ring over the flattened cover cells (r4 —
+        # no per-cell Python k_ring loop)
+        covers, rows = [], []
+        out: list = [None] * len(b)
+        for i, v in enumerate(b):
+            g = SG._loads_safe(v) if v is not None else None
             if g is None:
-                out.append(None)
                 continue
             base = K_cell.cover_to_res(K_cell.cover(g, res), res)
-            cells = set()
-            for c in base:
-                cells.update(K_cell.k_ring(int(c), k).tolist())
-            out.append(sorted(cells))
+            if len(base):
+                covers.append(np.asarray(base, np.int64))
+                rows.append(np.full(len(base), i, np.int64))
+        if covers:
+            flat = np.concatenate(covers)
+            rix = np.concatenate(rows)
+            ring, valid = K_cell.k_ring_batch(flat, k)
+            counts = np.bincount(rix, minlength=len(b)) * ring.shape[1]
+            ring_rows = np.repeat(rix, ring.shape[1])
+            order = np.argsort(ring_rows, kind="stable")
+            rflat = ring.ravel()[order]
+            vflat = valid.ravel()[order]
+            bounds = np.cumsum(counts)[:-1]
+            for i, (rs, vs) in enumerate(zip(np.split(rflat, bounds),
+                                             np.split(vflat, bounds))):
+                if len(rs):
+                    out[i] = np.unique(rs[vs])
         return pd.Series(out, dtype=object)
 
     return _expand(geom_col)

@@ -342,19 +342,19 @@ def _cell_nearest_all_geoms(left: DataFrame, right: DataFrame, *,
 
 def _shell_range_udf(cell_col, k_lo: int, k_hi: int):
     """Cells at Chebyshev distance in [k_lo, k_hi] = k_ring(k_hi) minus
-    k_ring(k_lo - 1)."""
+    k_ring(k_lo - 1), batch-vectorized over the Arrow column (r4 —
+    one stencil broadcast per batch, no per-row Python k_ring)."""
     @pandas_udf(T.ArrayType(T.LongType()))
     def _udf(c: pd.Series) -> pd.Series:
-        out = []
-        for v in c:
-            if v is None or v < 0:
-                out.append([])
-                continue
-            outer = set(K_cell.k_ring(int(v), k_hi).tolist())
-            if k_lo > 0:
-                outer -= set(K_cell.k_ring(int(v), k_lo - 1).tolist())
-            out.append(sorted(int(x) for x in outer))
-        return pd.Series(out, dtype=object)
+        cells = c.fillna(-1).to_numpy(dtype=np.int64)
+        outer, ov = K_cell.k_ring_batch(cells, k_hi)
+        if k_lo > 0:
+            inner, iv = K_cell.k_ring_batch(cells, k_lo - 1)
+            vals = [np.setdiff1d(outer[i][ov[i]], inner[i][iv[i]])
+                    for i in range(len(cells))]
+        else:
+            vals = [np.unique(outer[i][ov[i]]) for i in range(len(cells))]
+        return pd.Series(vals, dtype=object)
     return _udf(cell_col)
 
 
@@ -363,12 +363,26 @@ def _disk_udf(cell_col, d0_col, res: int):
 
     @pandas_udf(T.ArrayType(T.LongType()))
     def _udf(c: pd.Series, d0: pd.Series) -> pd.Series:
-        out = []
-        for v, d in zip(c, d0):
-            if v is None or v < 0:
-                out.append([])
-            else:
-                k = int(np.ceil(float(d) / h))
-                out.append([int(x) for x in K_cell.k_ring(int(v), k)])
-        return pd.Series(out, dtype=object)
+        cells = c.fillna(-1).to_numpy(dtype=np.int64)
+        ks = np.ceil(d0.fillna(0.0).to_numpy(dtype=np.float64)
+                     / h).astype(np.int64)
+        m = len(cells)
+        vals: list = [None] * m
+        # rows sorted by k and chunked so rows x stencil stays bounded
+        # (one far-away d0 must not allocate a huge matrix for all rows)
+        order = np.argsort(ks)
+        budget = 1 << 22
+        i = 0
+        while i < m:
+            j = i + 1
+            while j < m and (j - i + 1) * \
+                    (2 * int(ks[order[j]]) + 1) ** 2 <= budget:
+                j += 1
+            idx = order[i:j]
+            out, valid = K_cell.k_ring_batch(
+                cells[idx], int(ks[idx].max()), k_per_row=ks[idx])
+            for p, row in enumerate(idx):
+                vals[row] = np.unique(out[p][valid[p]])
+            i = j
+        return pd.Series(vals, dtype=object)
     return _udf(cell_col, d0_col)

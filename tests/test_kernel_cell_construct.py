@@ -64,6 +64,32 @@ def test_k_ring_lon_wrap_lat_clamp():
     assert len(ring) == 6  # clamped at the pole
 
 
+def test_k_ring_batch_matches_scalar():
+    """r4: the vectorized batch k-ring equals the scalar k_ring for
+    random cells (incl. wrap/clamp edges) and per-row radii."""
+    rng = np.random.default_rng(11)
+    lons = np.concatenate([rng.uniform(-180, 180, 40),
+                           [-179.95, 179.95, 0.0]])
+    lats = np.concatenate([rng.uniform(-90, 90, 40),
+                           [89.9, -89.9, 0.0]])
+    for res in (3, 5, 9):
+        cells = cell.cell_of(lons, lats, res)
+        for k in (0, 1, 3):
+            got = cell.k_ring_lists(cells, k)
+            for i, c in enumerate(cells):
+                np.testing.assert_array_equal(
+                    got[i], cell.k_ring(int(c), k), err_msg=f"{res},{k},{i}")
+        # per-row k
+        ks = rng.integers(0, 4, len(cells))
+        out, valid = cell.k_ring_batch(cells, int(ks.max()), k_per_row=ks)
+        for i, c in enumerate(cells):
+            np.testing.assert_array_equal(
+                np.unique(out[i][valid[i]]), cell.k_ring(int(c), int(ks[i])))
+    # invalid cell -> empty
+    out, valid = cell.k_ring_batch(np.array([-1], np.int64), 2)
+    assert not valid.any()
+
+
 def test_cover_box():
     res = 6
     g = Geom.box(0.1, 0.1, 11.0, 6.0)

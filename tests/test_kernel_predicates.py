@@ -316,16 +316,63 @@ def test_batch_predicate_one_matches_scalar():
                       rng.uniform(-5, 5), rng.uniform(0.3, 2.5))
         prep = P.prepare_batch_lefts(lefts)
         sel = np.arange(nleft)
+        scalar = {"intersects": P.intersects, "dwithin": P.dwithin,
+                  "contains": P.contains, "within": P.within,
+                  "covers": P.covers, "covered_by": P.covered_by,
+                  "contains_properly": P.contains_properly}
         for pred, dist in [("intersects", None), ("dwithin", 0.7),
-                           ("dwithin", 0.05)]:
+                           ("dwithin", 0.05), ("contains", None),
+                           ("within", None), ("covers", None),
+                           ("covered_by", None),
+                           ("contains_properly", None)]:
             got = P.batch_predicate_one(prep, sel, g, pred, dist)
             for i, a in enumerate(lefts):
                 if a is None:
                     want = False
-                elif pred == "intersects":
-                    want = P.intersects(a, g)
-                else:
+                elif pred == "dwithin":
                     want = P.dwithin(a, g, dist)
+                else:
+                    want = scalar[pred](a, g)
                 assert bool(got[i]) == bool(want), (rep, i, pred, dist)
+    # predicates with no batch path still signal scalar fallback
     assert P.batch_predicate_one(P.prepare_batch_lefts([]), np.arange(0),
-                                 Geom.point(0, 0), "within") is None
+                                 Geom.point(0, 0), "touches") is None
+
+
+def test_batch_containment_nested_boxes():
+    """Deterministic containment sweep: nested / touching / crossing /
+    disjoint boxes and lineal covers through the batch kernel."""
+    import numpy as np
+    lefts = [Geom.box(0, 0, 10, 10),              # contains g
+             Geom.box(2, 2, 8, 8),                # equals g's interior? no: within g
+             Geom.box(2, 2, 30, 30),              # crosses g
+             Geom.box(50, 50, 60, 60),            # disjoint
+             Geom.polygon([(0, 0), (10, 0), (10, 10), (0, 10)],
+                          holes=[[(4, 4), (6, 4), (6, 6), (4, 6)]]),
+             Geom.linestring([(2, 2), (8, 8)]),   # within g
+             None]
+    g = Geom.box(2, 2, 8, 8)
+    prep = P.prepare_batch_lefts(lefts)
+    sel = np.arange(len(lefts))
+    for pred, fn in [("contains", P.contains), ("within", P.within),
+                     ("covers", P.covers), ("covered_by", P.covered_by),
+                     ("contains_properly", P.contains_properly)]:
+        got = P.batch_predicate_one(prep, sel, g, pred)
+        want = [False if a is None else fn(a, g) for a in lefts]
+        assert [bool(x) for x in got] == want, pred
+    # the holed left (index 4) must NOT contain g (hole inside g's span)
+    got_c = P.batch_predicate_one(prep, sel, g, "contains")
+    assert not got_c[4]
+    # lineal covers: a line covering a collinear sub-line
+    l_lefts = [Geom.linestring([(0, 0), (10, 0)]),
+               Geom.linestring([(0, 1), (10, 1)])]
+    lp = P.prepare_batch_lefts(l_lefts)
+    sub = Geom.linestring([(2, 0), (7, 0)])
+    got_l = P.batch_predicate_one(lp, np.arange(2), sub, "covers")
+    assert bool(got_l[0]) and not bool(got_l[1])
+    # point lefts go through the undecided->scalar path
+    p_lefts = [Geom.point(3, 3), Geom.point(9, 9)]
+    pp = P.prepare_batch_lefts(p_lefts)
+    got_p = P.batch_predicate_one(pp, np.arange(2), Geom.point(3, 3),
+                                  "covers")
+    assert bool(got_p[0]) and not bool(got_p[1])
