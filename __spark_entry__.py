@@ -371,6 +371,27 @@ def q_knn_all_cells(spark, sf_dir):
                      F.col("right_id").alias("s_suppkey"))
 
 
+def q_knn_mixed_geoms(spark, sf_dir):
+    """General-geometry distributed nearest (r4): customer points vs
+    nation BOXES through the assume_points=False ring-expansion path —
+    cover-seeded shells, ids-only shuffles, grouped batch pair
+    distance (kernel.predicates.batch_distance_one, no per-pair
+    Python).  Point-to-axis-box distance has the exact GREATEST
+    closed form the oracle reproduces; all ties kept."""
+    ship_package(spark)
+    pts = _cust_points(spark, sf_dir).select(
+        F.col("c_custkey").alias("left_id"), F.col("point").alias("geom"))
+    boxes = _nation_boxes(spark, sf_dir).select(
+        F.col("polygon_id").alias("right_id"), "geom")
+    nn = SK.cell_nearest_all(pts, boxes, left_geom="geom",
+                             right_geom="geom", left_id="left_id",
+                             right_id="right_id", res=3, max_rings=16,
+                             shells_per_round=4, assume_points=False)
+    return (nn.select(F.col("left_id").alias("c_custkey"),
+                      F.col("right_id").alias("polygon_id"))
+            .orderBy("c_custkey", "polygon_id"))
+
+
 def q_line_interpolate(spark, sf_dir):
     """line_interpolate_point along a supplier-derived segment at a
     key-derived fraction (reference linear.py:15-53)."""
@@ -992,6 +1013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "embedding_norms": q_embedding_norms,
         "knn_all_cells": q_knn_all_cells,
+        "knn_mixed_geoms": q_knn_mixed_geoms,
         "line_interpolate": q_line_interpolate,
         "simhash_dups": q_simhash_dups,
         "lang_id": q_lang_id,
@@ -1174,6 +1196,21 @@ def oracle_sql() -> dict[str, str]:
             m AS (SELECT c_custkey, MIN(dist) AS dmin FROM d GROUP BY 1)
             SELECT d.c_custkey, d.s_suppkey
             FROM d JOIN m ON d.c_custkey = m.c_custkey AND d.dist = m.dmin
+        """,
+        "knn_mixed_geoms": f"""
+            WITH d AS (
+              SELECT c.c_custkey, n.n_nationkey::BIGINT AS polygon_id,
+                     SQRT(POWER(GREATEST({BOX_X0} - {CUST_LON},
+                                         {CUST_LON} - ({BOX_X0} + 70.0),
+                                         0.0), 2)
+                        + POWER(GREATEST({BOX_Y0} - {CUST_LAT},
+                                         {CUST_LAT} - ({BOX_Y0} + 34.0),
+                                         0.0), 2)) AS dist
+              FROM customer c, nation n),
+            m AS (SELECT c_custkey, MIN(dist) AS dmin FROM d GROUP BY 1)
+            SELECT d.c_custkey, d.polygon_id
+            FROM d JOIN m ON d.c_custkey = m.c_custkey AND d.dist = m.dmin
+            ORDER BY 1, 2
         """,
         "line_interpolate": f"""
             SELECT s_suppkey,

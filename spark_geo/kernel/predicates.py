@@ -817,6 +817,22 @@ def _seg_blocks(counts: np.ndarray, cap: int = 65536):
         i = j
 
 
+def _owner_min_reduce(values: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Per-owner min over an owner-contiguous value stack; +inf for
+    zero-count owners.  reduceat runs only over NONEMPTY owners'
+    starts — clamping the out-of-range start of a trailing empty owner
+    (the previous approach) stole the preceding owner's last element
+    from its reduction range (r4 fix, found by the batch-distance
+    property test)."""
+    n = len(counts)
+    out = np.full(n, np.inf)
+    nz = counts > 0
+    if nz.any():
+        starts = (np.cumsum(counts) - counts)[nz]
+        out[nz] = np.minimum.reduceat(values, starts)
+    return out
+
+
 def batch_predicate_one(prep: dict, sel: np.ndarray, g, predicate: str,
                         distance: float | None = None) -> np.ndarray | None:
     """Vectorized predicate of the selected prepared lefts against one
@@ -904,11 +920,92 @@ def batch_predicate_one(prep: dict, sel: np.ndarray, g, predicate: str,
             t = np.where(len2 == 0, 0.0, t)
             dist2 = (px - (x1 + t * dx)) ** 2 + (py - (y1 + t * dy)) ** 2
             dmin = dist2.min(axis=0)  # min over g's vertices, per segment
-            omin = np.minimum.reduceat(dmin, np.minimum(starts, len(dmin) - 1))
-            ok = nonempty & (omin <= thresh * thresh)
+            omin = _owner_min_reduce(dmin, bcounts)
+            ok = omin <= thresh * thresh
             if ok.any():
                 idx = np.arange(olo, ohi)[ok]
                 out[idx] = True
+    return out
+
+
+def batch_distance_one(prep: dict, sel: np.ndarray, g) -> np.ndarray:
+    """Exact distance from each selected prepared left to ONE right
+    geometry, vectorized over the owner stacks (r4 — VERDICT r3 item
+    7: the general kNN refine ran a per-pair Python loop).  NaN for
+    None/empty lefts.
+
+    Exactness: between non-crossing segment sets the minimum is
+    attained at a vertex-to-segment pair, so min(left-verts→g,
+    g-verts→left-segs) covers it; interior cases (left vertex inside
+    polygonal g via points_to_geom_dist, g vertex inside polygonal
+    left via ring parity) and any segment contact force 0."""
+    n = len(sel)
+    out = np.full(n, np.inf)
+    if n == 0:
+        return out
+    if g is None or g.is_empty:
+        return np.full(n, np.nan)
+
+    # (1) left vertices -> g (includes 0-inside for polygonal g)
+    v, vowner, vcounts = _owner_stack(prep["verts"], sel)
+    if len(v):
+        d = M.points_to_geom_dist(v[:, 0], v[:, 1], g)
+        out = np.minimum(out, _owner_min_reduce(d, vcounts))
+
+    gv = M.vertices(g)
+    gsegs = M.segments(g)
+    s, sowner, scounts = _owner_stack(prep["segs"], sel)
+
+    # (2) g vertices -> left segments, blocked per-owner min
+    if len(s) and len(gv):
+        for olo, ohi, ilo, ihi in _seg_blocks(scounts):
+            blk = s[ilo:ihi]
+            if not len(blk):
+                continue
+            bcounts = scounts[olo:ohi]
+            x1, y1 = blk[:, 0][None, :], blk[:, 1][None, :]
+            dx = blk[:, 2][None, :] - x1
+            dy = blk[:, 3][None, :] - y1
+            len2 = dx * dx + dy * dy
+            safe = np.where(len2 == 0, 1.0, len2)
+            px, py = gv[:, 0][:, None], gv[:, 1][:, None]
+            t = np.clip(((px - x1) * dx + (py - y1) * dy) / safe, 0.0, 1.0)
+            t = np.where(len2 == 0, 0.0, t)
+            dist2 = (px - (x1 + t * dx)) ** 2 + (py - (y1 + t * dy)) ** 2
+            dmin = np.sqrt(dist2.min(axis=0))
+            out[olo:ohi] = np.minimum(out[olo:ohi],
+                                      _owner_min_reduce(dmin, bcounts))
+
+    # (3a) segment contact -> 0
+    if len(s) and len(gsegs):
+        step = max(1, 65536 // max(len(gsegs), 1))
+        for lo in range(0, len(s), step):
+            touch, _ = _seg_cross_matrix(s[lo:lo + step], gsegs)
+            th = touch.any(axis=1)
+            if th.any():
+                hit = np.bincount(sowner[lo:lo + step][th],
+                                  minlength=n).astype(bool)
+                out[hit] = 0.0
+
+    # (3b) any g vertex inside a polygonal left -> 0
+    p, powner, pcounts = _owner_stack(prep["psegs"], sel)
+    if len(p) and len(gv) and (out > 0).any():
+        x1, y1, x2, y2 = p[:, 0], p[:, 1], p[:, 2], p[:, 3]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for k in range(len(gv)):
+                gx, gy = gv[k, 0], gv[k, 1]
+                cond = (y1 > gy) != (y2 > gy)
+                xint = x1 + (gy - y1) * (x2 - x1) / (y2 - y1)
+                cross = cond & (gx < xint)
+                par = (np.bincount(powner[cross], minlength=n)
+                       % 2).astype(bool)
+                out[par] = 0.0
+                if not (out > 0).any():
+                    break
+
+    # empty lefts -> NaN (no vertices at all)
+    has_v = np.array([len(prep["verts"][i]) > 0 for i in sel])
+    out[~has_v] = np.nan
     return out
 
 

@@ -339,6 +339,46 @@ def test_batch_predicate_one_matches_scalar():
                                  Geom.point(0, 0), "touches") is None
 
 
+def test_batch_distance_one_matches_scalar():
+    """Property: the vectorized many-vs-one pair distance equals the
+    scalar kernel on random mixed geometries (r4, kNN refine path)."""
+    import numpy as np
+    rng = np.random.default_rng(13)
+
+    def rand_geom(kind, cx, cy, s):
+        if kind == 0:
+            return Geom.point(cx, cy)
+        if kind == 1:
+            n = int(rng.integers(3, 6))
+            return Geom.linestring(np.column_stack(
+                [cx + rng.uniform(-s, s, n), cy + rng.uniform(-s, s, n)]))
+        if kind == 2:
+            return Geom.box(cx - s, cy - s, cx + s, cy + s)
+        ang = np.linspace(0, 2 * np.pi, 9)
+        outer = np.column_stack([cx + s * np.cos(ang), cy + s * np.sin(ang)])
+        inner = np.column_stack([cx + 0.4 * s * np.cos(ang[::-1]),
+                                 cy + 0.4 * s * np.sin(ang[::-1])])
+        return Geom.polygon(outer, holes=[inner])
+
+    for rep in range(50):
+        nleft = int(rng.integers(1, 9))
+        lefts = [rand_geom(int(rng.integers(0, 4)), rng.uniform(-6, 6),
+                           rng.uniform(-6, 6), rng.uniform(0.3, 2.0))
+                 for _ in range(nleft)]
+        if rng.random() < 0.2:
+            lefts[0] = None
+        g = rand_geom(int(rng.integers(0, 4)), rng.uniform(-6, 6),
+                      rng.uniform(-6, 6), rng.uniform(0.3, 2.5))
+        prep = P.prepare_batch_lefts(lefts)
+        got = P.batch_distance_one(prep, np.arange(nleft), g)
+        for i, a in enumerate(lefts):
+            want = M.distance(a, g) if a is not None else np.nan
+            if np.isnan(want):
+                assert np.isnan(got[i]), (rep, i)
+            else:
+                assert abs(got[i] - want) <= 1e-9, (rep, i, got[i], want)
+
+
 def test_batch_containment_nested_boxes():
     """Deterministic containment sweep: nested / touching / crossing /
     disjoint boxes and lineal covers through the batch kernel."""
