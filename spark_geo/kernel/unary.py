@@ -79,11 +79,61 @@ def _has_self_intersection(segs: np.ndarray, closed: bool = False) -> bool:
 
 
 def is_valid(g: Geom | None) -> bool:
-    """Validity (reference predicates.py:359-391).  v1 checks: rings
-    have >= 4 points and close; shells are simple; holes inside shell;
-    True for non-polygonal.  (Full OGC validity — ring nesting,
-    touching-interiors — deferred.)"""
+    """Validity (reference predicates.py:359-391): ring closure and
+    simplicity, hole containment, hole/shell nesting, and OGC
+    connected-interior (r4 — a hole or chain of touching holes linking
+    two shell contacts disconnects the interior).  True for
+    non-polygonal geometries."""
     return is_valid_reason(g) == "Valid Geometry"
+
+
+def _interior_disconnected(shell: np.ndarray, holes: list) -> bool:
+    """OGC connected-interior test (GEOS 'Interior is disconnected';
+    reference predicates.py:359-391 delegates to GEOSisValidReason).
+
+    With rings touching only at isolated points (crossings are caught
+    by the earlier checks), the interior is disconnected iff the
+    bipartite incidence graph — ring nodes on one side, distinct touch
+    POINTS on the other, an edge when the point lies on the ring —
+    contains a cycle: one hole touching the shell at two points cuts
+    the interior in two, as does a chain of touching holes linking two
+    shell contacts, while any number of rings meeting at a SINGLE
+    shared point leaves it connected (cycle detection via union-find;
+    a touch along a shared edge yields >= 2 touch points and is
+    reported as disconnection — GEOS labels that case
+    self-intersection, invalid either way)."""
+    rings = [shell] + holes
+    ring_segs = [np.hstack([r[:-1], r[1:]]) for r in rings]
+    # touch points: vertex of one ring within EPS of the other ring
+    incid: dict[tuple, set] = {}
+    for i in range(len(rings)):
+        for j in range(i + 1, len(rings)):
+            for vi, sj in ((rings[i][:-1], ring_segs[j]),
+                           (rings[j][:-1], ring_segs[i])):
+                d = M.points_to_segments_dist(vi[:, 0], vi[:, 1], sj)
+                for p in vi[d <= 1e-9]:
+                    key = (round(float(p[0]), 9), round(float(p[1]), 9))
+                    incid.setdefault(key, set()).update((i, j))
+    if not incid:
+        return False
+    # union-find over ring ids (0..R-1) and touch-point nodes
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for key, ring_ids in incid.items():
+        pnode = ("p", key)
+        for r in ring_ids:
+            ra, rb = find(pnode), find(("r", r))
+            if ra == rb:
+                return True  # second independent path => cycle
+            parent[ra] = rb
+    return False
 
 
 def is_valid_reason(g: Geom | None) -> str | None:
@@ -113,6 +163,9 @@ def is_valid_reason(g: Geom | None) -> str | None:
                 if i != j and P.covers(Geom(POLYGON, rings=[holes[i]]),
                                        Geom(POLYGON, rings=[holes[j]])):
                     return "Holes are nested"
+        if len(g.rings[0]) >= 4 and holes and \
+                _interior_disconnected(g.rings[0], holes):
+            return "Interior is disconnected"
         return "Valid Geometry"
     if g.type_id == MULTIPOLYGON and g.parts:
         for p in g.parts:

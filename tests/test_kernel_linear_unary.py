@@ -236,3 +236,42 @@ def test_is_valid_nesting_rules():
     island = box(4, 4, 6, 6)
     assert U.is_valid_reason(Geom(MULTIPOLYGON, parts=[holed, island])) \
         == "Valid Geometry"
+
+
+def test_is_valid_connected_interior():
+    """r4 (VERDICT r3 item 5): OGC connected-interior — a hole (or
+    chain of touching holes) linking two shell contacts disconnects
+    the interior; single-point contacts, even many rings at one point,
+    stay valid.  Reference: GEOSisValid semantics via
+    predicates.py:359-391."""
+    from spark_geo.kernel.wkt import from_wkt
+
+    shell = "(0 0, 10 0, 10 10, 0 10, 0 0)"
+    # hole touching the shell at ONE point: valid
+    one = from_wkt(f"POLYGON ({shell}, (5 0, 3 3, 5 6, 7 3, 5 0))")
+    assert U.is_valid_reason(one) == "Valid Geometry"
+    # hole touching the shell at TWO points: splits the interior
+    two = from_wkt(f"POLYGON ({shell}, (5 0, 2 5, 5 10, 8 5, 5 0))")
+    assert U.is_valid_reason(two) == "Interior is disconnected"
+    assert not U.is_valid(two)
+    # chain: hole A on shell, hole B on shell, A touches B
+    chain = from_wkt(
+        f"POLYGON ({shell},"
+        " (5 0, 4 2, 5 4, 6 2, 5 0),"
+        " (5 10, 4 7, 5 4, 6 7, 5 10))")
+    assert U.is_valid_reason(chain) == "Interior is disconnected"
+    # two holes + shell all through ONE point: still connected
+    star = from_wkt(
+        f"POLYGON ({shell},"
+        " (5 0, 3 2, 4 4, 5 0),"
+        " (5 0, 7 2, 6 4, 5 0))")
+    assert U.is_valid_reason(star) == "Valid Geometry"
+    # two holes touching each other at TWO points: pocket between them
+    pocket = from_wkt(
+        f"POLYGON ({shell},"
+        " (4 4, 6 3, 8 4, 6 3.5, 4 4),"
+        " (4 4, 6 4.5, 8 4, 6 5, 4 4))")
+    assert U.is_valid_reason(pocket) == "Interior is disconnected"
+    # plain donut unaffected
+    donut = from_wkt(f"POLYGON ({shell}, (2 2, 8 2, 8 8, 2 8, 2 2))")
+    assert U.is_valid_reason(donut) == "Valid Geometry"
