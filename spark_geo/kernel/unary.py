@@ -163,7 +163,7 @@ def is_valid_reason(g: Geom | None) -> str | None:
                 if i != j and P.covers(Geom(POLYGON, rings=[holes[i]]),
                                        Geom(POLYGON, rings=[holes[j]])):
                     return "Holes are nested"
-        if len(g.rings[0]) >= 4 and holes and \
+        if g.rings and len(g.rings[0]) >= 4 and holes and \
                 _interior_disconnected(g.rings[0], holes):
             return "Interior is disconnected"
         return "Valid Geometry"
