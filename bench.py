@@ -110,17 +110,35 @@ class StallSampler:
         self.busy_frac = round(db / dt, 3) if dt > 0 else 1.0
 
 
-def timed_runs(fn, ncores, n_runs=4):
-    """1 warmup + ``n_runs`` sampled timed runs -> list of run dicts."""
+def timed_runs(fn, ncores, n_runs=4, until_clean=0, max_runs=0):
+    """1 warmup + ``n_runs`` sampled timed runs -> list of run dicts.
+
+    ``until_clean``: for saturating jobs (the flagship), keep sampling
+    past ``n_runs`` (up to ``max_runs``) until that many ABSOLUTELY
+    clean runs exist — no blocked-process spike and pinned-core busy
+    fraction >= 0.85.  The sandbox's external stalls come in phases;
+    extra samples buy a shot at a clean window instead of publishing a
+    contaminated median."""
     fn()  # warmup: codegen + python-worker spin-up out of the timing
     runs = []
-    for _ in range(n_runs):
+
+    def one():
         with StallSampler(ncores) as s:
             t0 = time.perf_counter()
             fn()
             sec = time.perf_counter() - t0
         runs.append({"sec": round(sec, 3), "max_blocked": s.max_blocked,
                      "busy_frac": s.busy_frac})
+
+    for _ in range(n_runs):
+        one()
+    if until_clean:
+        def n_abs_clean():
+            return sum(1 for r in runs
+                       if r["max_blocked"] < BLOCKED_SPIKE
+                       and r["busy_frac"] >= 0.85)
+        while n_abs_clean() < until_clean and len(runs) < max_runs:
+            one()
     return runs
 
 
@@ -215,7 +233,9 @@ for tag, n in {sizes!r}.items():
     def job():
         B._force(PL.flagship(pages, layer, res=7))
     job()  # extra warmup: worker-heap first-touch faults (see memory)
-    out[tag] = {{"pages": n, "runs": B.timed_runs(job, cpus, n_runs={runs})}}
+    out[tag] = {{"pages": n,
+                 "runs": B.timed_runs(job, cpus, n_runs={runs},
+                                      until_clean=2, max_runs=10)}}
 print("FLAGSHIP_JSON " + json.dumps(out))
 """
 
