@@ -157,6 +157,9 @@ def median_of_clean(runs):
              if r["max_blocked"] < BLOCKED_SPIKE
              and r["sec"] < OUTLIER * best
              and (not check_busy
+                  or r["sec"] <= 1.15 * best  # a fast run is clean —
+                  # only a SLOWED run with idle cores is the phantom-
+                  # stall fingerprint
                   or r["busy_frac"] >= BUSY_DROP * best_busy)]
     if not clean:
         return best, 0
