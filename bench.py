@@ -335,6 +335,10 @@ def main():
         clean_counts["flagship_pages"] = n_clean
         all_runs["flagship_pages"] = fres["sf"]["runs"]
         flagship_info["pages_per_sec"] = round(n_pages / med, 1)
+        flagship_info["note"] = (
+            "the %d-page leg is fixed-overhead-bound (the same job on "
+            "10x the pages takes barely longer); sustained throughput "
+            "is the sf1 leg's flagship_sf1_pages_per_sec" % n_pages)
         if "sf1" in fres:
             med1, n1 = median_of_clean(fres["sf1"]["runs"])
             flagship_info["sf1_pages"] = fres["sf1"]["pages"]

@@ -848,6 +848,19 @@ def batch_predicate_one(prep: dict, sel: np.ndarray, g, predicate: str,
     RESULT size, not the candidate count (VERDICT r3 item 3)."""
     if predicate in _CONTAINMENT_PREDS:
         return _batch_containment(prep, sel, g, predicate)
+    if predicate in _INTERSECTING_PREDS:
+        # touches/crosses/overlaps/equals all REQUIRE intersects: run
+        # the vectorized intersects pass first, scalar-verify only its
+        # survivors (linear in the intersecting pairs, r4)
+        hits = batch_predicate_one(prep, sel, g, "intersects")
+        fn = _SCALAR_INTERSECTING[predicate]
+        geoms = prep["geoms"]
+        out = np.zeros(len(sel), dtype=bool)
+        for i in np.nonzero(hits)[0]:
+            a = geoms[sel[i]]
+            if a is not None and not a.is_empty:
+                out[i] = fn(a, g)
+        return out
     if predicate not in ("intersects", "dwithin"):
         return None
     n = len(sel)
@@ -1011,6 +1024,15 @@ def batch_distance_one(prep: dict, sel: np.ndarray, g) -> np.ndarray:
 
 _CONTAINMENT_PREDS = {"contains", "within", "covers", "covered_by",
                       "contains_properly"}
+
+_INTERSECTING_PREDS = {"touches", "crosses", "overlaps", "equals"}
+
+_SCALAR_INTERSECTING = {
+    "touches": lambda a, b: touches(a, b),
+    "crosses": lambda a, b: crosses(a, b),
+    "overlaps": lambda a, b: overlaps(a, b),
+    "equals": lambda a, b: equals(a, b),
+}
 
 _SCALAR_CONTAINMENT = {
     "contains": lambda a, b: contains(a, b),

@@ -319,12 +319,16 @@ def test_batch_predicate_one_matches_scalar():
         scalar = {"intersects": P.intersects, "dwithin": P.dwithin,
                   "contains": P.contains, "within": P.within,
                   "covers": P.covers, "covered_by": P.covered_by,
-                  "contains_properly": P.contains_properly}
+                  "contains_properly": P.contains_properly,
+                  "touches": P.touches, "crosses": P.crosses,
+                  "overlaps": P.overlaps, "equals": P.equals}
         for pred, dist in [("intersects", None), ("dwithin", 0.7),
                            ("dwithin", 0.05), ("contains", None),
                            ("within", None), ("covers", None),
                            ("covered_by", None),
-                           ("contains_properly", None)]:
+                           ("contains_properly", None),
+                           ("touches", None), ("crosses", None),
+                           ("overlaps", None), ("equals", None)]:
             got = P.batch_predicate_one(prep, sel, g, pred, dist)
             for i, a in enumerate(lefts):
                 if a is None:
@@ -334,9 +338,9 @@ def test_batch_predicate_one_matches_scalar():
                 else:
                     want = scalar[pred](a, g)
                 assert bool(got[i]) == bool(want), (rep, i, pred, dist)
-    # predicates with no batch path still signal scalar fallback
+    # an unknown predicate still signals scalar fallback
     assert P.batch_predicate_one(P.prepare_batch_lefts([]), np.arange(0),
-                                 Geom.point(0, 0), "touches") is None
+                                 Geom.point(0, 0), "relate") is None
 
 
 def test_batch_distance_one_matches_scalar():
