@@ -921,8 +921,6 @@ def batch_predicate_one(prep: dict, sel: np.ndarray, g, predicate: str,
             if not len(blk):
                 continue
             bcounts = scounts[olo:ohi]
-            starts = np.cumsum(bcounts) - bcounts
-            nonempty = bcounts > 0
             x1, y1 = blk[:, 0][None, :], blk[:, 1][None, :]
             dx = blk[:, 2][None, :] - x1
             dy = blk[:, 3][None, :] - y1
