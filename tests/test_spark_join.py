@@ -236,6 +236,26 @@ def test_cell_join_default_safe_for_polygons(spark):
     assert _pairs(s) == want
 
 
+def test_cell_join_shuffles_ids_only(spark):
+    """Scale property (r4): the two-phase cell join's only hash
+    exchange carries the (_lid, _rid) id pair — WKB geometry columns
+    never cross a shuffle (they rejoin via broadcast by id)."""
+    import re
+    lefts = [(i, K_wkb.dumps(Geom.box(i * 5.0, 0, i * 5.0 + 4, 4)))
+             for i in range(10)]
+    left = spark.createDataFrame(lefts, "left_id long, geom binary")
+    layer = spark.createDataFrame(
+        [(7, K_wkb.dumps(Geom.box(0, 0, 50, 50)))],
+        "right_id long, geom binary")
+    df = SJ.cell_spatial_join(left, layer, predicate="within",
+                              left_id="left_id", right_id="right_id",
+                              res=4)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if re.search(r"\bExchange hashpartitioning", line):
+            assert "geom" not in line and "binary" not in line, line
+
+
 def test_cell_join_geoms_scalar_fallback_predicate(spark):
     """Predicates without a batch path (within) still refine exactly
     via the scalar kernels over bbox survivors."""
