@@ -493,6 +493,50 @@ def q_line_overlay(spark, sf_dir):
     ).orderBy("polygon_id")
 
 
+def q_gc_overlay(spark, sf_dir):
+    """Set ops with MIXED-DIMENSION GEOMETRYCOLLECTION operands
+    (kernel.gcoverlay, r5 — per-dimension dispatch; the reference
+    itself REFUSES GeometryCollection operands, set_operations.py:
+    79-131, so this is strictly-better coverage).  Each nation box
+    becomes GC(box, line above the box, point below-left); overlaid
+    against a corner-overlapping shifted box.  Areas, total lengths
+    (perimeters + clipped line) and part counts have exact closed
+    forms: inter 595/144/2, diff 1785/248/3, union 4165/352/3,
+    symdiff 3570/456/4."""
+    ship_package(spark)
+    b = _nation_boxes(spark, sf_dir)
+    gc = SG.st_from_wkt(F.format_string(
+        "GEOMETRYCOLLECTION(POLYGON((%.6f %.6f,%.6f %.6f,%.6f %.6f,"
+        "%.6f %.6f,%.6f %.6f)),LINESTRING(%.6f %.6f,%.6f %.6f),"
+        "POINT(%.6f %.6f))",
+        F.col("x0"), F.col("y0"), F.col("x0") + 70.0, F.col("y0"),
+        F.col("x0") + 70.0, F.col("y0") + 34.0,
+        F.col("x0"), F.col("y0") + 34.0, F.col("x0"), F.col("y0"),
+        F.col("x0") - 5.0, F.col("y0") + 40.0,
+        F.col("x0") + 75.0, F.col("y0") + 40.0,
+        F.col("x0") - 20.0, F.col("y0") - 20.0))
+    other = SG.st_make_box(F.col("x0") + 35.0, F.col("y0") + 17.0,
+                           F.col("x0") + 105.0, F.col("y0") + 51.0)
+    inter = SG.st_intersection(gc, other)
+    diff = SG.st_difference(gc, other)
+    uni = SG.st_union(gc, other)
+    sym = SG.st_symmetric_difference(gc, other)
+    return b.select(
+        "polygon_id",
+        F.round(SG.st_area(inter), 6).alias("inter_area_r"),
+        F.round(SG.st_length(inter), 6).alias("inter_len_r"),
+        SG.st_num_geometries(inter).cast("long").alias("inter_parts"),
+        F.round(SG.st_area(diff), 6).alias("diff_area_r"),
+        F.round(SG.st_length(diff), 6).alias("diff_len_r"),
+        SG.st_num_geometries(diff).cast("long").alias("diff_parts"),
+        F.round(SG.st_area(uni), 6).alias("union_area_r"),
+        F.round(SG.st_length(uni), 6).alias("union_len_r"),
+        F.round(SG.st_area(sym), 6).alias("sym_area_r"),
+        F.round(SG.st_length(sym), 6).alias("sym_len_r"),
+        SG.st_num_geometries(sym).cast("long").alias("sym_parts"),
+    ).orderBy("polygon_id")
+
+
 # ---------------------------------------------------------------------------
 # long-tail operator queries (round 2): every SURVEY §2.3/2.5/2.8/2.9
 # operator name appears in a driver-oracle row, mostly via closed-form
@@ -1020,6 +1064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rasterize_area": q_rasterize_area,
         "overlay_areas": q_overlay_areas,
         "line_overlay": q_line_overlay,
+        "gc_overlay": q_gc_overlay,
         "constructive_identities": q_constructive_identities,
         "simplify_segmentize": q_simplify_segmentize,
         "hausdorff_frechet": q_hausdorff_frechet,
@@ -1247,6 +1292,21 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(70.0, 6) AS inter_horiz_r,
                    ROUND(10.0, 6) AS diff_horiz_r,
                    ROUND(42.0 * sqrt(2.0) + 80.0, 6) AS sym_len_r
+            FROM nation ORDER BY polygon_id
+        """,
+        "gc_overlay": """
+            SELECT n_nationkey::BIGINT AS polygon_id,
+                   ROUND(595.0, 6) AS inter_area_r,
+                   ROUND(144.0, 6) AS inter_len_r,
+                   CAST(2 AS BIGINT) AS inter_parts,
+                   ROUND(1785.0, 6) AS diff_area_r,
+                   ROUND(248.0, 6) AS diff_len_r,
+                   CAST(3 AS BIGINT) AS diff_parts,
+                   ROUND(4165.0, 6) AS union_area_r,
+                   ROUND(352.0, 6) AS union_len_r,
+                   ROUND(3570.0, 6) AS sym_area_r,
+                   ROUND(456.0, 6) AS sym_len_r,
+                   CAST(4 AS BIGINT) AS sym_parts
             FROM nation ORDER BY polygon_id
         """,
         "constructive_identities": """

@@ -1,9 +1,17 @@
 """Benchmark driver: headline engine queries at $SPARK_GRAFT_SF_DIR on
 local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
 
-  {"metric": "...", "value": <total sec>, "unit": "sec",
+  {"metric": "...", "value": <suite sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": ..., "pages": N,
-   "pages_per_sec": ..., "cpus": N}
+   "pages_per_sec": <sf1-leg sustained throughput>, "cpus": N,
+   "clean_runs": {...}, "flagship_sf1_*": ..., "runs_file": ...}
+
+The headline line is COMPACT (round 5): raw per-run samples go to
+BENCH/bench_runs_r{N}.json ($SPARK_GRAFT_ROUND), never stdout —
+round 4's embedded query_runs overflowed the driver's tail capture.
+``pages_per_sec`` is keyed to the sf1 (6M-page) flagship leg; the
+sf0.1 leg is a fixed-overhead-bound smoke check reported as
+``flagship_smoke_sec`` and excluded from the suite total.
 
 The flagship measurement is the north-star workload: synthesize a
 CC-style pages table sized to the scale factor (1 page per lineitem
@@ -230,24 +238,24 @@ cpus = {cpus}
 spark = get_spark(cores=cpus, shuffle_partitions=max(cpus, 32),
                   app="spark_geo_bench_flagship")
 out = {{}}
-for tag, n in {sizes!r}.items():
+for tag, (n, n_runs, until_clean) in {sizes!r}.items():
     pages = PL.synth_pages(spark, n, partitions=max(cpus * 2, 64))
     layer = PL.make_world_layer(spark)
     def job():
         B._force(PL.flagship(pages, layer, res=7))
     job()  # extra warmup: worker-heap first-touch faults (see memory)
     out[tag] = {{"pages": n,
-                 "runs": B.timed_runs(job, cpus, n_runs={runs},
-                                      until_clean=2, max_runs=10)}}
+                 "runs": B.timed_runs(job, cpus, n_runs=n_runs,
+                                      until_clean=until_clean,
+                                      max_runs=12)}}
 print("FLAGSHIP_JSON " + json.dumps(out))
 """
 
 
-def run_flagship_fresh(cpus, sizes, runs=5):
+def run_flagship_fresh(cpus, sizes):
     """Flagship in a fresh taskset-pinned subprocess session (see
-    module docstring)."""
-    code = _FLAGSHIP_JOB.format(repo=REPO, cpus=cpus, sizes=sizes,
-                                runs=runs)
+    module docstring).  ``sizes``: {tag: (pages, n_runs, until_clean)}."""
+    code = _FLAGSHIP_JOB.format(repo=REPO, cpus=cpus, sizes=sizes)
     cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c", code]
     env = dict(os.environ)
     out = subprocess.run(cmd, capture_output=True, text=True,
@@ -318,7 +326,10 @@ def main():
     all_runs = {}
     clean_counts = {}
     for name, fn in suite.items():
-        runs = timed_runs(fn, cpus, n_runs=4)
+        # until_clean on EVERY suite query (VERDICT r4 item 4): keep
+        # sampling past n_runs until >= 3 absolutely clean runs, so no
+        # query publishes a 1-2-clean-run median again.
+        runs = timed_runs(fn, cpus, n_runs=4, until_clean=3, max_runs=10)
         all_runs[name] = runs
         med, n_clean = median_of_clean(runs)
         times[name] = round(med, 3)
@@ -326,19 +337,18 @@ def main():
 
     flagship_info = {}
     if want_flagship:
-        sizes = {"sf": n_pages}
+        # sf0.1 leg is a SMOKE CHECK only (fixed-overhead-bound, see
+        # BENCH/BASELINE.md); the sf1 leg is the sustained-throughput
+        # headline and gets the full until_clean discipline.
+        sizes = {"sf": (n_pages, 2, 0)}
         if sf1_pages and sf1_pages != n_pages:
-            sizes["sf1"] = sf1_pages
-        fres = run_flagship_fresh(cpus, sizes, runs=5)
+            sizes["sf1"] = (sf1_pages, 5, 3)
+        fres = run_flagship_fresh(cpus, sizes)
         med, n_clean = median_of_clean(fres["sf"]["runs"])
-        times["flagship_pages"] = round(med, 3)
-        clean_counts["flagship_pages"] = n_clean
-        all_runs["flagship_pages"] = fres["sf"]["runs"]
-        flagship_info["pages_per_sec"] = round(n_pages / med, 1)
-        flagship_info["note"] = (
-            "the %d-page leg is fixed-overhead-bound (the same job on "
-            "10x the pages takes barely longer); sustained throughput "
-            "is the sf1 leg's flagship_sf1_pages_per_sec" % n_pages)
+        clean_counts["flagship_smoke"] = n_clean
+        all_runs["flagship_smoke"] = fres["sf"]["runs"]
+        flagship_info["smoke_sec"] = round(med, 3)
+        flagship_info["smoke_pages"] = n_pages
         if "sf1" in fres:
             med1, n1 = median_of_clean(fres["sf1"]["runs"])
             flagship_info["sf1_pages"] = fres["sf1"]["pages"]
@@ -348,6 +358,23 @@ def main():
                 fres["sf1"]["pages"] / med1, 1)
             all_runs["flagship_sf1"] = fres["sf1"]["runs"]
 
+    # raw samples go to a side file, NOT the headline line: round 4's
+    # driver could not parse the result because query_runs overflowed
+    # its tail capture (VERDICT r4 item 1).
+    rnd = os.environ.get("SPARK_GRAFT_ROUND", "5")
+    runs_file = os.path.join("BENCH", f"bench_runs_r{rnd}.json")
+    try:
+        os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+        with open(os.path.join(REPO, runs_file), "w") as f:
+            json.dump({"query_runs": all_runs, "cpus": cpus, "sf": sf},
+                      f, indent=1)
+    except OSError as e:
+        print(f"warning: could not write {runs_file}: {e}",
+              file=sys.stderr)
+
+    # suite total EXCLUDES the flagship smoke leg (1-2 samples of a
+    # fixed-overhead-bound job would contaminate the round-over-round
+    # comparison; r4-equivalent suite-only total was 13.91s).
     total = round(sum(times.values()), 3)
     result = {
         "metric": "spatial-join + tile-assignment suite wall time",
@@ -356,14 +383,13 @@ def main():
         "queries": times,
         "sf": sf,
         "pages": n_pages,
-        "pages_per_sec": flagship_info.get("pages_per_sec"),
+        "pages_per_sec": flagship_info.get("sf1_pages_per_sec"),
         "statistic": "median-of-clean (stall-discard; see bench.py)",
         "clean_runs": clean_counts,
-        "query_runs": all_runs,
+        "runs_file": runs_file,
         "cpus": cpus,
     }
-    result.update({f"flagship_{k}": v for k, v in flagship_info.items()
-                   if k != "pages_per_sec"})
+    result.update({f"flagship_{k}": v for k, v in flagship_info.items()})
     print(json.dumps(result))
 
 

@@ -786,6 +786,11 @@ def intersection(a: Geom | None, b: Geom | None) -> Geom | None:
     if a.type_id in (POLYGON, MULTIPOLYGON) and b.type_id in (POLYGON, MULTIPOLYGON):
         from . import overlay as O
         return O.overlay(a, b, "intersection")
+    if a.dimensions() == 2 or b.dimensions() == 2:
+        # mixed-dimension GC operand (ADVICE r4): per-dimension dispatch
+        # instead of silently dropping polygonal content in line_overlay
+        from . import gcoverlay as GC
+        return GC.gc_overlay(a, b, "intersection")
     from . import lineoverlay as LO
     return LO.line_overlay(a, b, "intersection")
 
@@ -813,6 +818,9 @@ def difference(a: Geom | None, b: Geom | None) -> Geom | None:
     if a.type_id in (POLYGON, MULTIPOLYGON) and b.type_id in (POLYGON, MULTIPOLYGON):
         from . import overlay as O
         return O.overlay(a, b, "difference")
+    if a.dimensions() == 2 or b.dimensions() == 2:
+        from . import gcoverlay as GC
+        return GC.gc_overlay(a, b, "difference")
     from . import lineoverlay as LO
     return LO.line_overlay(a, b, "difference")
 
@@ -821,9 +829,12 @@ def symmetric_difference(a: Geom | None, b: Geom | None) -> Geom | None:
     """Symmetric difference (reference set_operations.py:168-222)."""
     if a is None or b is None:
         return None
-    if a.dimensions() == 2 and b.dimensions() == 2:
+    if a.type_id in (POLYGON, MULTIPOLYGON) and b.type_id in (POLYGON, MULTIPOLYGON):
         from . import overlay as O
         return O.overlay(a, b, "symmetric_difference")
+    if a.dimensions() == 2 or b.dimensions() == 2:
+        from . import gcoverlay as GC
+        return GC.gc_overlay(a, b, "symmetric_difference")
     from . import lineoverlay as LO
     return LO.line_overlay(a, b, "symmetric_difference")
 
@@ -832,9 +843,12 @@ def union(a: Geom | None, b: Geom | None) -> Geom | None:
     """Binary union (reference set_operations.py:258-312)."""
     if a is None or b is None:
         return None
-    if a.dimensions() == 2 and b.dimensions() == 2:
+    if a.type_id in (POLYGON, MULTIPOLYGON) and b.type_id in (POLYGON, MULTIPOLYGON):
         from . import overlay as O
         return O.overlay(a, b, "union")
+    if a.dimensions() == 2 or b.dimensions() == 2:
+        from . import gcoverlay as GC
+        return GC.gc_overlay(a, b, "union")
     from . import lineoverlay as LO
     return LO.line_overlay(a, b, "union")
 

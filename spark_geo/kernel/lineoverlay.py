@@ -180,6 +180,9 @@ def line_overlay(a: Geom | None, b: Geom | None, op: str) -> Geom | None:
         if da == 0:
             return _assemble(_point_op(a, b, True), [])
         chains, contacts = _clip_lines(a, b, True, node_at_contacts=False)
+        # puntal components of a mixed 0/1-dim GC operand (r5: they
+        # were silently dropped — only lineal parts were walked)
+        contacts = contacts + _point_op(a, b, True)
         iso = [p for p in contacts if not _on_any_chain(p, chains)] \
             if chains else contacts
         return _assemble(iso, chains)
@@ -193,7 +196,9 @@ def line_overlay(a: Geom | None, b: Geom | None, op: str) -> Geom | None:
         if da == 0:
             return _assemble(_point_op(a, b, False), [])
         chains, _ = _clip_lines(a, b, False, node_at_contacts=True)
-        return _assemble([], chains)
+        # puntal components of a mixed GC minuend survive unless
+        # covered by b (r5 — same blind spot as intersection)
+        return _assemble(_point_op(a, b, False), chains)
 
     if op == "symmetric_difference":
         left = line_overlay(a, b, "difference")

@@ -262,7 +262,10 @@ def overlay(a: Geom | None, b: Geom | None, op: str) -> Geom | None:
         if not flat:
             return Geom(GEOMETRYCOLLECTION)
         if any(p.type_id != POLYGON for p in flat):
-            raise NotImplementedError("overlay requires polygonal operands")
+            # non-polygon parts inside a multi-operand: per-dimension
+            # dispatch (r5 — replaces the NotImplementedError guard)
+            from . import gcoverlay as GC
+            return GC.gc_overlay(a, b, op)
         out = _union_fold(flat)
         return out[0] if len(out) == 1 else Geom(MULTIPOLYGON, parts=out)
     if b.type_id == MULTIPOLYGON and op == "difference":
@@ -284,7 +287,10 @@ def overlay(a: Geom | None, b: Geom | None, op: str) -> Geom | None:
     if b.type_id == MULTIPOLYGON and op == "intersection":
         return overlay(b, a, op)
     if a.type_id != POLYGON or b.type_id != POLYGON:
-        raise NotImplementedError("overlay requires polygonal operands")
+        # non-POLYGON operand reached the general path (e.g. a GC):
+        # per-dimension dispatch (r5 — replaces the guard)
+        from . import gcoverlay as GC
+        return GC.gc_overlay(a, b, op)
 
     if not P.intersects(a, b):
         if op == "intersection":

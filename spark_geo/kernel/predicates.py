@@ -209,6 +209,20 @@ def _sample_points(g: Geom) -> np.ndarray:
     return v
 
 
+def _lineal_segments(g: Geom) -> np.ndarray:
+    """Segments drawn from LINEAL parts only (recursing into GCs) —
+    unlike M.segments, polygon-ring segments are excluded, so a mixed
+    GEOMETRYCOLLECTION's lineal content can be tested independently of
+    its polygonal content (ADVICE r4: predicates.py:212)."""
+    if g.type_id in _LINEAL:
+        return M.segments(g)
+    if g.type_id == GEOMETRYCOLLECTION:
+        arrs = [_lineal_segments(p) for p in g.parts]
+        arrs = [a for a in arrs if len(a)]
+        return np.vstack(arrs) if arrs else np.empty((0, 4))
+    return np.empty((0, 4))
+
+
 def _points_covered(pts: np.ndarray, g: Geom) -> np.ndarray:
     """Is each point in pts within g (interior or boundary)?"""
     n = len(pts)
@@ -217,8 +231,12 @@ def _points_covered(pts: np.ndarray, g: Geom) -> np.ndarray:
     out = np.zeros(n, dtype=bool)
     if _is_polygonal(g):
         out |= points_covered_by(pts[:, 0], pts[:, 1], g)
-    segs = M.segments(g)
-    if len(segs) and not _is_polygonal(g):
+        # a GC mixing polygons and lines: test the lineal parts too
+        segs = _lineal_segments(g) if g.type_id == GEOMETRYCOLLECTION \
+            else np.empty((0, 4))
+    else:
+        segs = M.segments(g)
+    if len(segs):
         out |= M.points_to_segments_dist(pts[:, 0], pts[:, 1], segs) <= _EPS
     gp = _point_coords(g)
     if len(gp):
@@ -237,16 +255,18 @@ def _points_in_interior(pts: np.ndarray, g: Geom) -> np.ndarray:
     if _is_polygonal(g):
         inside, _ = points_in_polygon(pts[:, 0], pts[:, 1], g)
         out |= inside
-    elif g.type_id in _LINEAL or (g.type_id == GEOMETRYCOLLECTION and M.segments(g).size):
+        segs = _lineal_segments(g) if g.type_id == GEOMETRYCOLLECTION \
+            else np.empty((0, 4))
+    else:
         segs = M.segments(g)
-        if len(segs):
-            on_line = M.points_to_segments_dist(pts[:, 0], pts[:, 1], segs) <= _EPS
-            bpts = _line_boundary_points(g)
-            if len(bpts):
-                d = np.hypot(pts[:, None, 0] - bpts[None, :, 0],
-                             pts[:, None, 1] - bpts[None, :, 1])
-                on_line &= ~(d <= _EPS).any(axis=1)
-            out |= on_line
+    if len(segs):
+        on_line = M.points_to_segments_dist(pts[:, 0], pts[:, 1], segs) <= _EPS
+        bpts = _line_boundary_points(g)
+        if len(bpts):
+            d = np.hypot(pts[:, None, 0] - bpts[None, :, 0],
+                         pts[:, None, 1] - bpts[None, :, 1])
+            on_line &= ~(d <= _EPS).any(axis=1)
+        out |= on_line
     gp = _point_coords(g)
     if len(gp):
         d = np.hypot(pts[:, None, 0] - gp[None, :, 0], pts[:, None, 1] - gp[None, :, 1])
