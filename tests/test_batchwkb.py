@@ -1,0 +1,176 @@
+"""Property tests: batch WKB kernels == scalar kernels, bit-for-bit
+semantics (kernel.batchwkb vs kernel.measure / kernel.predicates)."""
+
+import math
+import random
+
+import numpy as np
+import pytest
+
+from spark_geo.kernel import batchwkb as BW
+from spark_geo.kernel import measure as M
+from spark_geo.kernel import predicates as P
+from spark_geo.kernel import wkb as W
+from spark_geo.kernel.wkt import from_wkt
+
+
+def _rand_geom(rng, kind=None):
+    kind = kind or rng.choice(
+        ["point", "line", "poly", "holepoly", "mpoint", "mline",
+         "mpoly", "emptypt"])
+    cx, cy = rng.uniform(-50, 50), rng.uniform(-50, 50)
+    if kind == "point":
+        return from_wkt(f"POINT({cx} {cy})")
+    if kind == "emptypt":
+        return from_wkt("POINT EMPTY")
+    if kind == "line":
+        pts = ",".join(f"{cx + rng.uniform(-10, 10)} "
+                       f"{cy + rng.uniform(-10, 10)}"
+                       for _ in range(rng.randint(2, 6)))
+        return from_wkt(f"LINESTRING({pts})")
+    if kind in ("poly", "holepoly"):
+        r = rng.uniform(2, 12)
+        k = rng.randint(3, 8)
+        ang = [2 * math.pi * i / k for i in range(k)]
+        ring = [(cx + r * math.cos(a), cy + r * math.sin(a)) for a in ang]
+        ring.append(ring[0])
+        ext = ",".join(f"{x} {y}" for x, y in ring)
+        if kind == "poly":
+            return from_wkt(f"POLYGON(({ext}))")
+        hr = r * 0.3
+        hring = [(cx + hr * math.cos(a), cy + hr * math.sin(a))
+                 for a in reversed(ang)]
+        hring.append(hring[0])
+        hole = ",".join(f"{x} {y}" for x, y in hring)
+        return from_wkt(f"POLYGON(({ext}),({hole}))")
+    if kind == "mpoint":
+        pts = ",".join(f"({cx + rng.uniform(-8, 8)} "
+                       f"{cy + rng.uniform(-8, 8)})"
+                       for _ in range(rng.randint(1, 4)))
+        return from_wkt(f"MULTIPOINT({pts})")
+    if kind == "mline":
+        parts = []
+        for _ in range(rng.randint(1, 3)):
+            pts = ",".join(f"{cx + rng.uniform(-10, 10)} "
+                           f"{cy + rng.uniform(-10, 10)}"
+                           for _ in range(rng.randint(2, 5)))
+            parts.append(f"({pts})")
+        return from_wkt(f"MULTILINESTRING({','.join(parts)})")
+    if kind == "mpoly":
+        parts = []
+        for j in range(rng.randint(1, 3)):
+            ox, oy = cx + j * 30, cy
+            r = rng.uniform(2, 8)
+            k = rng.randint(3, 6)
+            ring = [(ox + r * math.cos(2 * math.pi * i / k),
+                     oy + r * math.sin(2 * math.pi * i / k))
+                    for i in range(k)]
+            ring.append(ring[0])
+            parts.append("((" + ",".join(f"{x} {y}" for x, y in ring)
+                         + "))")
+        return from_wkt(f"MULTIPOLYGON({','.join(parts)})")
+    raise AssertionError(kind)
+
+
+def _col(rng, n, with_null=True):
+    out = []
+    for _ in range(n):
+        if with_null and rng.random() < 0.05:
+            out.append(None)
+        else:
+            out.append(W.dumps(_rand_geom(rng)))
+    return out
+
+
+def test_batch_area_length_bounds_match_scalar():
+    rng = random.Random(7)
+    col = _col(rng, 300)
+    geoms = [None if b is None else W.loads(b) for b in col]
+    a = BW.batch_area(col)
+    ln = BW.batch_length(col)
+    bd = BW.batch_bounds(col)
+    for i, g in enumerate(geoms):
+        sa = M.area(g)
+        sl = M.length(g)
+        assert (np.isnan(a[i]) and np.isnan(sa)) or \
+            a[i] == pytest.approx(sa, abs=1e-9), i
+        assert (np.isnan(ln[i]) and np.isnan(sl)) or \
+            ln[i] == pytest.approx(sl, abs=1e-9), i
+        sb = (np.nan,) * 4 if g is None else g.bounds()
+        for j in range(4):
+            assert (np.isnan(bd[i, j]) and np.isnan(sb[j])) or \
+                bd[i, j] == pytest.approx(sb[j], abs=1e-9), (i, j)
+
+
+def test_pair_intersects_matches_scalar():
+    rng = random.Random(11)
+    acol = _col(rng, 400)
+    bcol = _col(rng, 400)
+    geoms_a = [None if b is None else W.loads(b) for b in acol]
+    geoms_b = [None if b is None else W.loads(b) for b in bcol]
+    got = BW.pair_intersects(acol, bcol)
+    for i in range(len(acol)):
+        want = P.intersects(geoms_a[i], geoms_b[i])
+        assert bool(got[i]) == want, \
+            (i, geoms_a[i] and geoms_a[i].type_id,
+             geoms_b[i] and geoms_b[i].type_id)
+
+
+def test_pair_distance_matches_scalar():
+    rng = random.Random(13)
+    acol = _col(rng, 300)
+    bcol = _col(rng, 300)
+    geoms_a = [None if b is None else W.loads(b) for b in acol]
+    geoms_b = [None if b is None else W.loads(b) for b in bcol]
+    got = BW.pair_distance(acol, bcol)
+    for i in range(len(acol)):
+        want = M.distance(geoms_a[i], geoms_b[i])
+        if np.isnan(want):
+            assert np.isnan(got[i]), i
+        else:
+            assert got[i] == pytest.approx(want, abs=1e-9), i
+
+
+def test_pair_distance_touching_and_contained():
+    # deterministic exact cases
+    a = [W.dumps(from_wkt("POLYGON((0 0,10 0,10 10,0 10,0 0))"))] * 4
+    b = [W.dumps(from_wkt("POINT(5 5)")),            # inside -> 0
+         W.dumps(from_wkt("POINT(10 5)")),           # on boundary -> 0
+         W.dumps(from_wkt("POINT(13 10)")),          # outside -> 3
+         W.dumps(from_wkt("LINESTRING(12 0,12 10)"))]  # parallel -> 2
+    d = BW.pair_distance(a, b)
+    assert d == pytest.approx([0.0, 0.0, 3.0, 2.0], abs=1e-9)
+    # hole: point in the hole is OUTSIDE the polygon
+    hp = W.dumps(from_wkt(
+        "POLYGON((0 0,10 0,10 10,0 10,0 0),(4 4,4 6,6 6,6 4,4 4))"))
+    d2 = BW.pair_distance([hp], [W.dumps(from_wkt("POINT(5 5)"))])
+    assert d2[0] == pytest.approx(1.0, abs=1e-9)
+    assert not BW.pair_intersects(
+        [hp], [W.dumps(from_wkt("POINT(5 5)"))])[0]
+
+
+def test_fallback_rows_gc_and_z():
+    # GEOMETRYCOLLECTION and Z rows take the scalar path, same result
+    gc = from_wkt("GEOMETRYCOLLECTION(POLYGON((0 0,4 0,4 4,0 4,0 0)),"
+                  "LINESTRING(10 0,14 0))")
+    z = from_wkt("LINESTRING Z(0 0 1,3 4 2)")
+    col = [W.dumps(gc), W.dumps_ext(z, output_dimension=3)]
+    a = BW.batch_area(col)
+    ln = BW.batch_length(col)
+    assert a[0] == pytest.approx(16.0)
+    assert ln[0] == pytest.approx(4.0 + 16.0)  # perimeter + line
+    assert ln[1] == pytest.approx(5.0)
+    got = BW.pair_intersects(
+        [W.dumps(gc)], [W.dumps(from_wkt("POINT(2 2)"))])
+    assert bool(got[0]) is True
+
+
+def test_decode_runs_rejects_malformed():
+    col = [b"", b"\x01\x02\x00\x00", b"\x00" * 40,
+           W.dumps(from_wkt("POINT(1 2)"))]
+    R = BW.decode_runs(col)
+    assert list(R.ok) == [False, False, False, True]
+    # malformed rows -> scalar fallback -> NaN area, no crash
+    a = BW.batch_area(col)
+    assert np.isnan(a[0]) and np.isnan(a[1]) and np.isnan(a[2])
+    assert a[3] == 0.0
