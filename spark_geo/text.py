@@ -40,13 +40,45 @@ TOKEN_PATTERN = "\\s+"
 DEFAULT_MAX_BUCKET = 10_000
 _DEFAULT_CAP = object()  # sentinel: "use DEFAULT_MAX_BUCKET at call time"
 
+# Caches created by the hot-bucket scans, awaiting release (ADVICE r4:
+# the MEMORY_AND_DISK persist in _drop_hot_buckets outlived the
+# operator that needed it).  Operators that can see their pipeline's
+# end (near_dup_clusters) release their own caches; direct callers of
+# the candidate generators can pass ``caches=[...]`` to own the
+# lifecycle, or call ``release_caches()`` between pipeline stages.
+_LIVE_CACHES: list = []
+
+
+def release_caches() -> int:
+    """Unpersist every signature cache registered by the skew-cap
+    scans; returns the number released.  Safe to call any time after
+    the candidate joins that read the caches have materialized."""
+    n = 0
+    while _LIVE_CACHES:
+        df = _LIVE_CACHES.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:  # session already stopped — nothing to free
+            pass
+    return n
+
+
+def _release(caches: list) -> None:
+    while caches:
+        try:
+            caches.pop().unpersist()
+        except Exception:
+            pass
+
 
 def _resolve_cap(max_bucket):
     return DEFAULT_MAX_BUCKET if max_bucket is _DEFAULT_CAP else max_bucket
 
 
 def _drop_hot_buckets(stacked: DataFrame, keys: list[str], max_bucket: int,
-                      skew_stats: dict | None, op: str) -> DataFrame:
+                      skew_stats: dict | None, op: str,
+                      caches: list | None = None) -> DataFrame:
     """Remove members of degenerate LSH buckets before the self-join.
 
     A bucket with n members emits n^2/2 candidate pairs — at 100 TB a
@@ -64,6 +96,7 @@ def _drop_hot_buckets(stacked: DataFrame, keys: list[str], max_bucket: int,
     # candidate self-join, which reads it twice more.
     from pyspark.storagelevel import StorageLevel
     stacked = stacked.persist(StorageLevel.MEMORY_AND_DISK)
+    (_LIVE_CACHES if caches is None else caches).append(stacked)
     sizes = stacked.groupBy(*keys).agg(F.count(F.lit(1)).alias("_bsz"))
     hot = sizes.where(F.col("_bsz") > max_bucket)
     hot_rows = hot.collect()
@@ -151,8 +184,12 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
                         shingle_size: int | None = None,
                         hash_mode: str = "xxhash64",
                         max_bucket: int | None = _DEFAULT_CAP,
-                        skew_stats: dict | None = None) -> DataFrame:
-    """Banded LSH: hash each band of the signature to a bucket,
+                        skew_stats: dict | None = None,
+                        caches: list | None = None) -> DataFrame:
+    """Banded LSH candidate pairs — NOTE: buckets hotter than the
+    DEFAULT-ON cap (DEFAULT_MAX_BUCKET=10k) are DROPPED from candidate
+    generation (recall trade, WARNING-logged; pass max_bucket=None for
+    exhaustive).  Hash each band of the signature to a bucket,
     self-join on (band, bucket) -> candidate pairs (da < db).
     P(candidate) = 1 - (1 - J^(n/bands))^bands.
 
@@ -185,7 +222,7 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
     max_bucket = _resolve_cap(max_bucket)
     if max_bucket:
         stacked = _drop_hot_buckets(stacked, ["band", "bucket"], max_bucket,
-                                    skew_stats, "lsh_candidate_pairs")
+                                    skew_stats, "lsh_candidate_pairs", caches)
     x, y = stacked.alias("x"), stacked.alias("y")
     return (x.join(y, (F.col("x.band") == F.col("y.band"))
                    & (F.col("x.bucket") == F.col("y.bucket"))
@@ -271,12 +308,14 @@ def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", max_hamming: int = 3,
                       hash_mode: str = "xxhash64",
                       max_bucket: int | None = _DEFAULT_CAP,
-                      skew_stats: dict | None = None) -> DataFrame:
-    """SimHash near-dup pairs by 4-block banding (any identical 16-bit
-    block -> candidate; exact for hamming <= 3 by pigeonhole) + exact
-    hamming verify with bit_count.  ``max_bucket`` drops degenerate
-    blocks (e.g. millions of near-empty docs voting the same bits) from
-    candidate generation, logged + reported via ``skew_stats``."""
+                      skew_stats: dict | None = None,
+                      caches: list | None = None) -> DataFrame:
+    """SimHash near-dup pairs — NOTE: blocks hotter than the
+    DEFAULT-ON cap (DEFAULT_MAX_BUCKET=10k) are DROPPED from candidate
+    generation (recall trade, WARNING-logged; max_bucket=None for
+    exhaustive).  4-block banding (any identical 16-bit block ->
+    candidate; exact for hamming <= 3 by pigeonhole) + exact hamming
+    verify with bit_count."""
     sh = simhash(df, id_col, text_col, hash_mode=hash_mode)
     blocks = [F.struct(F.lit(k).alias("blk"),
                        F.shiftright("simhash", 16 * k)
@@ -288,7 +327,7 @@ def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
     max_bucket = _resolve_cap(max_bucket)
     if max_bucket:
         stacked = _drop_hot_buckets(stacked, ["blk", "val"], max_bucket,
-                                    skew_stats, "simhash_near_dups")
+                                    skew_stats, "simhash_near_dups", caches)
     x, y = stacked.alias("x"), stacked.alias("y")
     cand = (x.join(y, (F.col("x.blk") == F.col("y.blk"))
                    & (F.col("x.val") == F.col("y.val"))
@@ -392,13 +431,15 @@ def winnow_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
                            min_shared: int = 2,
                            hash_mode: str = "rolling",
                            max_bucket: int | None = _DEFAULT_CAP,
-                           skew_stats: dict | None = None) -> DataFrame:
-    """Local-similarity candidate pairs: docs sharing >= min_shared
-    winnowed fingerprints.  Equi-join on the fingerprint hash — the
+                           skew_stats: dict | None = None,
+                           caches: list | None = None) -> DataFrame:
+    """Winnowing candidate pairs — NOTE: fingerprints shared by more
+    docs than the DEFAULT-ON cap (DEFAULT_MAX_BUCKET=10k) are DROPPED
+    (boilerplate substrings; recall trade, WARNING-logged;
+    max_bucket=None for exhaustive).  Docs sharing >= min_shared
+    winnowed fingerprints, equi-join on the fingerprint hash — the
     same bucketed shape as LSH banding, never all-pairs.
-    ``hash_mode='md5'`` uses the SQL-portable Catalyst fingerprints.
-    ``max_bucket`` drops fingerprints shared by more docs than the cap
-    (boilerplate substrings), logged + reported via ``skew_stats``."""
+    ``hash_mode='md5'`` uses the SQL-portable Catalyst fingerprints."""
     if hash_mode == "md5":
         fp = winnow_fingerprints_sql(df, id_col, text_col, k, window)
     else:
@@ -407,7 +448,7 @@ def winnow_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
     max_bucket = _resolve_cap(max_bucket)
     if max_bucket:
         flat = _drop_hot_buckets(flat, ["fp"], max_bucket,
-                                 skew_stats, "winnow_candidate_pairs")
+                                 skew_stats, "winnow_candidate_pairs", caches)
     a = flat.select(F.col(id_col).alias("da"), "fp")
     b = flat.select(F.col(id_col).alias("db"), "fp")
     return (a.join(b, ["fp"]).where(F.col("da") < F.col("db"))
@@ -531,11 +572,17 @@ def near_dup_clusters(df: DataFrame, id_col: str = "doc_id",
            .agg(F.min(id_col).alias("_rep"),
                 F.min_by(text_col, F.col(id_col)).alias(text_col)))
     rep_docs = rep.select(F.col("_rep").alias(id_col), F.col(text_col))
+    _caches: list = []  # own the hot-scan cache lifecycle (ADVICE r4)
     cand = lsh_candidate_pairs(rep_docs, id_col, text_col, n_hashes, bands,
-                               max_bucket=max_bucket, skew_stats=skew_stats)
+                               max_bucket=max_bucket, skew_stats=skew_stats,
+                               caches=_caches)
     verified = jaccard_pairs(rep_docs, id_col, text_col, threshold,
                              candidates=cand)
     comp = connected_components(verified.select("da", "db"))
+    # connected_components materializes its labels eagerly per round
+    # (localCheckpoint / parquet), so the signature cache behind the
+    # candidate join is no longer reachable from `comp` — release it.
+    _release(_caches)
     # expand back: doc -> its exact-dup representative -> rep's cluster
     doc_rep = (df.select(F.col(id_col), h.alias("_ch"))
                .join(rep.select("_ch", "_rep"), "_ch")

@@ -23,6 +23,23 @@ from pyspark.sql import DataFrame, Window, functions as F
 DEFAULT_MAX_CELL = 100_000
 _DEFAULT_CAP = object()
 
+# Assignment caches created by the ivf_topk skew probe, awaiting
+# release (ADVICE r4 — same lifecycle as text._LIVE_CACHES).
+_LIVE_CACHES: list = []
+
+
+def release_caches() -> int:
+    """Unpersist every IVF assignment cache registered by the skew
+    probe; returns the number released."""
+    n = 0
+    while _LIVE_CACHES:
+        try:
+            _LIVE_CACHES.pop().unpersist()
+            n += 1
+        except Exception:  # session already stopped
+            pass
+    return n
+
 
 def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -163,8 +180,14 @@ def ivf_topk(probes: DataFrame, corpus: DataFrame,
              probe_id: str = "probe_id", corpus_id: str = "neighbor_id",
              vec_col: str = "embedding",
              max_cell: int | None = _DEFAULT_CAP,
-             skew_stats: dict | None = None) -> DataFrame:
-    """IVF ANN search: corpus assigned to its nearest cell ONCE
+             skew_stats: dict | None = None,
+             caches: list | None = None) -> DataFrame:
+    """IVF ANN search — NOTE: inverted lists longer than the
+    DEFAULT-ON cap (DEFAULT_MAX_CELL=100k) are TRUNCATED
+    (deterministic by id; recall trade; pass max_cell=None for
+    exhaustive; the truncation is lazy, so drop COUNTS are probed and
+    WARNING-logged only when ``skew_stats`` is passed).  Corpus
+    assigned to its nearest cell ONCE
     (write partitioned by cell for reuse); each probe explodes to its
     ``n_probe`` nearest cells and equi-joins the matching inverted
     lists; exact cosine refine + window top-k.  Same coarse-key +
@@ -190,6 +213,7 @@ def ivf_topk(probes: DataFrame, corpus: DataFrame,
             # assignment pipeline is not computed twice (ADVICE r3)
             from pyspark.storagelevel import StorageLevel
             ranked = ranked.persist(StorageLevel.MEMORY_AND_DISK)
+            (_LIVE_CACHES if caches is None else caches).append(ranked)
             dropped = ranked.where(F.col("_rk") > max_cell) \
                 .groupBy().count().collect()[0][0]
             skew_stats["dropped_members"] = int(dropped)

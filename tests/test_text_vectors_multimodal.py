@@ -400,3 +400,40 @@ def test_connected_components_durable_resume(spark, tmp_path):
     mem = {r["node"]: r["component"]
            for r in TX.connected_components(pairs).collect()}
     assert mem == out
+
+
+def test_cache_lifecycle_released(spark):
+    """ADVICE r4: the hot-bucket-scan persist must not outlive the
+    operator.  near_dup_clusters owns and releases its caches; direct
+    candidate-generator calls register in the module registry, which
+    release_caches() drains."""
+    TX.release_caches()
+    VX.release_caches()
+    # direct call with a hot bucket -> cache registered
+    rows = [(i, "identical vote mass " + "filler " * 30) for i in range(40)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    TX.simhash_near_dups(d, max_hamming=3, max_bucket=5).count()
+    assert len(TX._LIVE_CACHES) == 1
+    cached = TX._LIVE_CACHES[0]
+    assert cached.storageLevel.useMemory or cached.storageLevel.useDisk
+    assert TX.release_caches() == 1
+    assert not (cached.storageLevel.useMemory or cached.storageLevel.useDisk)
+    assert len(TX._LIVE_CACHES) == 0
+
+    # near_dup_clusters cleans up after itself (no registry growth,
+    # nothing left persisted from its internal LSH stage)
+    nd_rows = [(i, f"some unique text number {i} with shared prefix "
+                + "boiler " * 10) for i in range(20)]
+    nd = spark.createDataFrame(nd_rows, "doc_id long, text string")
+    TX.near_dup_clusters(nd, threshold=0.5, max_bucket=5).count()
+    assert len(TX._LIVE_CACHES) == 0
+
+    # ivf_topk with skew_stats registers; release drains
+    emb = [(i, [float(i % 2) + 0.5] * 8) for i in range(12)]
+    pdfp = spark.createDataFrame(emb, "probe_id long, embedding array<float>")
+    cdfc = spark.createDataFrame(emb, "neighbor_id long, embedding array<float>")
+    st = {}
+    VX.ivf_topk(pdfp, cdfc, [[1.5] * 8, [0.5] * 8], k=3, n_probe=1,
+                max_cell=4, skew_stats=st).count()
+    assert len(VX._LIVE_CACHES) == 1
+    assert VX.release_caches() == 1
