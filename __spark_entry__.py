@@ -835,6 +835,34 @@ def q_cell_join_contains(spark, sf_dir):
             .orderBy("s_suppkey", "polygon_id"))
 
 
+def q_cell_join_relate(spark, sf_dir):
+    """relate_pattern as a cell-join predicate (r5, VERDICT r4 item 8):
+    supplier boxes vs nation boxes with the DE-9IM pattern T*T***T**
+    (area/area `overlaps`: interiors meet AND each side has interior
+    outside the other).  The refine batch-gates on the vectorized
+    intersects kernel and computes the exact DE-9IM matrix
+    (kernel/relate.py:211) only for intersecting pairs.  For
+    axis-aligned boxes the matrix is pure interval arithmetic, so the
+    SQL oracle is exact: open-interval overlap on both axes minus the
+    two containment cases (the 70x34 nation box can never sit inside
+    the 9.75x7.25 supplier box, but the condition is stated anyway for
+    fidelity)."""
+    ship_package(spark)
+    s = _supp_points(spark, sf_dir)
+    boxes_l = s.select(
+        F.col("s_suppkey").alias("left_id"),
+        SG.st_make_box(F.col("lon"), F.col("lat"),
+                       F.col("lon") + 9.75, F.col("lat") + 7.25).alias("geom"))
+    layer = _nation_boxes(spark, sf_dir).select(
+        F.col("polygon_id").alias("right_id"), "geom")
+    j = SJ.cell_spatial_join(boxes_l, layer, predicate="relate_pattern",
+                             pattern="T*T***T**", res=4,
+                             left_is_points=False)
+    return (j.select(F.col("left_id").alias("s_suppkey"),
+                     F.col("right_id").alias("polygon_id"))
+            .orderBy("s_suppkey", "polygon_id"))
+
+
 # staircase polygon offsets (x, y from the nation slot origin): a
 # CONCAVE rectilinear hexagon (40x30 block + 28x16 step) with a 12x12
 # hole — every edge at +0.125 so no 0.25-lattice point ever sits on a
@@ -1080,6 +1108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_join_dwithin": q_cell_join_dwithin,
         "cell_join_geoms": q_cell_join_geoms,
         "cell_join_contains": q_cell_join_contains,
+        "cell_join_relate": q_cell_join_relate,
         "irregular_pip": q_irregular_pip,
         "coverage_union_area": q_coverage_union_area,
         "setops_all": q_setops_all,
@@ -1432,6 +1461,26 @@ def oracle_sql() -> dict[str, str]:
              AND {SUPP_LON} + 9.75 <= {BOX_X0} + 70.0
              AND {SUPP_LAT} >= {BOX_Y0}
              AND {SUPP_LAT} + 7.25 <= {BOX_Y0} + 34.0
+            ORDER BY 1, 2
+        """,
+        "cell_join_relate": f"""
+            -- DE-9IM T*T***T** (area/area overlaps) for axis-aligned
+            -- boxes: open-interval overlap on both axes AND neither box
+            -- contained in the other (closed-interval containment)
+            SELECT s.s_suppkey, n.n_nationkey::BIGINT AS polygon_id
+            FROM supplier s JOIN nation n
+              ON GREATEST({SUPP_LON}, {BOX_X0})
+                   < LEAST({SUPP_LON} + 9.75, {BOX_X0} + 70.0)
+             AND GREATEST({SUPP_LAT}, {BOX_Y0})
+                   < LEAST({SUPP_LAT} + 7.25, {BOX_Y0} + 34.0)
+             AND NOT ({SUPP_LON} >= {BOX_X0}
+                      AND {SUPP_LON} + 9.75 <= {BOX_X0} + 70.0
+                      AND {SUPP_LAT} >= {BOX_Y0}
+                      AND {SUPP_LAT} + 7.25 <= {BOX_Y0} + 34.0)
+             AND NOT ({BOX_X0} >= {SUPP_LON}
+                      AND {BOX_X0} + 70.0 <= {SUPP_LON} + 9.75
+                      AND {BOX_Y0} >= {SUPP_LAT}
+                      AND {BOX_Y0} + 34.0 <= {SUPP_LAT} + 7.25)
             ORDER BY 1, 2
         """,
         "irregular_pip": f"""

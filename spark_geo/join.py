@@ -339,13 +339,25 @@ def cell_spatial_join(left: DataFrame, right: DataFrame, *,
                       left_geom: str = "geom", right_geom: str = "geom",
                       left_id: str = "left_id", right_id: str = "right_id",
                       res: int = 7, distance: float | None = None,
-                      left_is_points: bool = False) -> DataFrame:
+                      left_is_points: bool = False,
+                      pattern: str | None = None) -> DataFrame:
     """Large✕large spatial join: coarse cell equi-join (Catalyst
     sort-merge; AQE skew split) + exact refine + pair dedup.
 
     ``distance`` (dwithin) expands the left cells by k rings with
     k = ceil(d / cell_height) — the cell-grid analogue of the
     reference's bbox expansion (src/strtree.c:1165-1188).
+
+    ``predicate="relate_pattern"`` joins on a DE-9IM ``pattern``
+    (reference predicates.py:975-1007 semantics).  The pattern MUST
+    require an intersection — at least one of the II/IB/BI/BB slots in
+    {T,0,1,2} — because cell-overlap candidate generation can only
+    surface pairs whose geometries come near each other; a pattern
+    satisfiable by disjoint pairs (e.g. ``FF*FF****``) is semantically
+    a cross join and is rejected.  The refine runs the vectorized
+    intersects gate first and evaluates the exact scalar DE-9IM matrix
+    only on its survivors, so the scalar work is linear in the number
+    of INTERSECTING pairs, not the candidate count.
 
     The candidate shuffle carries ONLY ids (+16 B of lon/lat doubles on
     the point path) — never WKB; geometries are equi-joined back by id
@@ -362,6 +374,13 @@ def cell_spatial_join(left: DataFrame, right: DataFrame, *,
     geometry is a point — the general default handles any geometry
     (a polygon left under the point path would silently yield NaN
     coordinates and drop rows, so correctness must be the default)."""
+    if predicate == "relate_pattern":
+        if left_is_points:
+            raise ValueError("relate_pattern uses the general-geometry "
+                             "refine; call with left_is_points=False")
+        _check_join_pattern(pattern)
+    elif pattern is not None:
+        raise ValueError("pattern is only valid with predicate='relate_pattern'")
     id_fields = [T.StructField("_lid", left.schema[left_id].dataType),
                  T.StructField("_rid", right.schema[right_id].dataType)]
     rg = right.select(F.col(right_id).alias("_rid"),
@@ -399,7 +418,7 @@ def cell_spatial_join(left: DataFrame, right: DataFrame, *,
                          F.col(left_geom).alias("_lgeom"))
         joined = cand.join(rg, "_rid").join(lg, "_lid")
         refine = _cell_refine_geoms(predicate, distance,
-                                    T.StructType(id_fields))
+                                    T.StructType(id_fields), pattern)
         out = joined.mapInPandas(refine, schema=T.StructType(id_fields))
     return out.select(F.col("_lid").alias(left_id),
                       F.col("_rid").alias(right_id))
@@ -427,7 +446,26 @@ def _cell_refine_points(predicate, distance, schema):
     return run
 
 
-def _cell_refine_geoms(predicate, distance, schema):
+_PATTERN_INTERSECTION_SLOTS = (0, 1, 3, 4)  # II, IB, BI, BB
+
+
+def _check_join_pattern(pattern):
+    """A DE-9IM join pattern must REQUIRE an intersection (some
+    interior/boundary slot in {T,0,1,2}) — only then is cell-overlap
+    candidate generation complete for it."""
+    if pattern is None or len(pattern) != 9 \
+            or any(c not in "TF*012tf" for c in pattern):
+        raise ValueError(f"invalid DE-9IM pattern {pattern!r}: need 9 "
+                         "characters from {T,F,*,0,1,2}")
+    if not any(pattern[i] in "T012" for i in _PATTERN_INTERSECTION_SLOTS):
+        raise ValueError(
+            f"pattern {pattern!r} does not require the geometries to "
+            "intersect (all of II/IB/BI/BB are F or *); such a join is "
+            "satisfiable by arbitrarily distant pairs and cannot be "
+            "answered by cell-overlap candidate generation")
+
+
+def _cell_refine_geoms(predicate, distance, schema, pattern=None):
     """Grouped refine for general geometry candidates.
 
     Each DISTINCT left geometry is decoded + prepared (vertex/segment
@@ -436,8 +474,15 @@ def _cell_refine_geoms(predicate, distance, schema):
     `dwithin` go through the many-vs-one batch kernel
     (kernel.predicates.batch_predicate_one — owner-block vectorized, no
     per-pair Python); other predicates fall back to the exact scalar
-    kernels over the bbox survivors only."""
-    fn = K_p.dwithin if predicate == "dwithin" else PREDICATES[predicate]
+    kernels over the bbox survivors only.  ``relate_pattern`` gates on
+    the vectorized intersects pass (sound because join patterns must
+    require intersection, _check_join_pattern) and computes the exact
+    DE-9IM matrix only for intersecting pairs."""
+    if predicate == "relate_pattern":
+        from .kernel import relate as K_rel
+        fn = lambda a, g: K_rel.relate_pattern(a, g, pattern)  # noqa: E731
+    else:
+        fn = K_p.dwithin if predicate == "dwithin" else PREDICATES[predicate]
     pad = float(distance) if predicate == "dwithin" else 0.0
 
     def run(batches):
@@ -474,8 +519,19 @@ def _cell_refine_geoms(predicate, distance, schema):
                 if not alive.any():
                     continue
                 sel = gc[alive]
-                mask = K_p.batch_predicate_one(prep, sel, g, predicate,
-                                               distance)
+                if predicate == "relate_pattern":
+                    # batch intersects gate: a join pattern requires
+                    # intersection, so only survivors can match
+                    hits = K_p.batch_predicate_one(prep, sel, g,
+                                                   "intersects")
+                    mask = np.zeros(len(sel), dtype=bool)
+                    for i in np.nonzero(hits)[0]:
+                        a = lgeoms[sel[i]]
+                        if a is not None and not a.is_empty:
+                            mask[i] = fn(a, g)
+                else:
+                    mask = K_p.batch_predicate_one(prep, sel, g, predicate,
+                                                   distance)
                 rows = idx[alive]
                 if mask is not None:
                     keep[rows] = mask

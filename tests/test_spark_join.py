@@ -304,3 +304,59 @@ def test_cell_nearest_all_geoms_equals_broadcast(spark):
     cp = sorted((r["left_id"], r["right_id"], round(r["distance"], 9))
                 for r in c.collect())
     assert bp == cp
+
+
+def test_cell_join_relate_pattern(spark):
+    """r5: relate_pattern as a cell-join predicate.  Mixed box/line
+    lefts vs a box layer with three patterns (area-overlaps, the
+    generic 'interiors intersect' gate pattern, and crosses-for-lines);
+    cell plan ≡ brute-force scalar relate_pattern over all pairs."""
+    from spark_geo.kernel import relate as K_rel
+    lefts = []
+    for i in range(90):
+        cx = (i * 37 % 360) - 180.0
+        cy = (i * 53 % 170) - 85.0
+        if i % 2 == 0:
+            g = Geom.box(cx, cy, cx + 8, cy + 6)
+        else:
+            g = Geom.linestring([(cx - 2, cy - 1), (cx + 9, cy + 5)])
+        lefts.append((i, K_wkb.dumps(g)))
+    rights = [(j, K_wkb.dumps(Geom.box(-180 + j * 30, -90 + (j % 6) * 30,
+                                       -180 + j * 30 + 25,
+                                       -90 + (j % 6) * 30 + 25)))
+              for j in range(12)]
+    left = spark.createDataFrame(lefts, "left_id long, geom binary")
+    layer = spark.createDataFrame(rights, "right_id long, geom binary")
+    lg = {i: K_wkb.loads(w) for i, w in lefts}
+    rg = {j: K_wkb.loads(w) for j, w in rights}
+    for pat in ["T*T***T**", "T********", "0********"]:
+        got = _pairs(SJ.cell_spatial_join(
+            left, layer, predicate="relate_pattern", pattern=pat,
+            left_id="left_id", right_id="right_id", res=4))
+        want = sorted((a, b) for a in lg for b in rg
+                      if K_rel.relate_pattern(lg[a], rg[b], pat))
+        assert got == want, pat
+
+
+def test_cell_join_relate_pattern_rejects_nonintersecting(spark):
+    """A pattern satisfiable by disjoint pairs (all II/IB/BI/BB slots
+    F or *) is a cross join — candidate generation by cell overlap
+    cannot answer it, so the join must refuse."""
+    df = spark.createDataFrame([(0, K_wkb.dumps(Geom.point(0, 0)))],
+                               "left_id long, geom binary")
+    with pytest.raises(ValueError, match="does not require"):
+        SJ.cell_spatial_join(df, df, predicate="relate_pattern",
+                             pattern="FF*FF****", right_id="left_id")
+    with pytest.raises(ValueError, match="invalid DE-9IM"):
+        SJ.cell_spatial_join(df, df, predicate="relate_pattern",
+                             pattern="T*T", right_id="left_id")
+    with pytest.raises(ValueError):
+        SJ.cell_spatial_join(df, df, predicate="relate_pattern",
+                             pattern=None, right_id="left_id")
+    with pytest.raises(ValueError, match="left_is_points"):
+        SJ.cell_spatial_join(df, df, predicate="relate_pattern",
+                             pattern="T********", left_is_points=True,
+                             right_id="left_id")
+    with pytest.raises(ValueError, match="only valid"):
+        SJ.cell_spatial_join(df, df, predicate="intersects",
+                             pattern="T********", right_id="left_id")
