@@ -34,8 +34,10 @@ Protocol notes (measured on this sandbox, see BENCH/BASELINE.md):
   permits.
 
 Usage: python scripts/bench_scaling.py [n_pages]
-Env: SPARK_GRAFT_SCALING_PASSES (default 5, max extended to 8 while
-fewer than 5 passes are clean).
+Env: SPARK_GRAFT_SCALING_PASSES (default 7 — VERDICT r4 item 3: more
+clean passes tighten the median; passes extend up to min+5 while fewer
+than that many are clean).  Each pass additionally waits for a
+stall-quiet window (wait_quiet) before launching its legs.
 """
 
 from __future__ import annotations
@@ -167,6 +169,46 @@ print(json.dumps({{"cpus": cpus, "runs": runs}}))
 """
 
 
+def wait_quiet(max_wait: float = 180.0, probe: float = 6.0) -> None:
+    """Stall-quiet-window gate (VERDICT r4 item 3): the sandbox's
+    external stalls come in multi-10-second PHASES.  Before launching a
+    pass, probe /proc/stat procs_blocked and 1-min load for ``probe``
+    seconds; if the stall fingerprint is visible (blocked pileup, or
+    load far above this process tree's own footprint while we are
+    idle), sleep and re-probe rather than burn a pass into a storm.
+    Bounded by ``max_wait`` so a long phase degrades to the old
+    behavior (run anyway; the per-run sampler still marks stalls)."""
+    import time
+    t0 = time.monotonic()
+    while True:
+        blocked_peak, load_peak = 0, 0.0
+        t_probe = time.monotonic()
+        while time.monotonic() - t_probe < probe:
+            try:
+                with open("/proc/stat") as f:
+                    for line in f:
+                        if line.startswith("procs_blocked"):
+                            blocked_peak = max(blocked_peak,
+                                               int(line.split()[1]))
+                            break
+                with open("/proc/loadavg") as f:
+                    load_peak = max(load_peak, float(f.read().split()[0]))
+            except OSError:
+                pass
+            time.sleep(0.5)
+        # we are idle between passes: any blocked pileup or load ≥ 8
+        # is someone else's storm (our own legs never leave >8 behind
+        # for more than the loadavg decay takes)
+        if blocked_peak < BLOCKED_SPIKE and load_peak < 8.0:
+            return
+        if time.monotonic() - t0 > max_wait:
+            print(f"# wait_quiet: giving up after {max_wait}s "
+                  f"(blocked={blocked_peak}, load={load_peak})",
+                  file=sys.stderr)
+            return
+        time.sleep(10.0)
+
+
 def run_level(cpus: int, n_pages: int, pq: str) -> dict:
     code = _JOB.format(repo=REPO, cpus=cpus, n_pages=n_pages, pq=pq, runs=RUNS[cpus])
     # Pin the whole process tree (JVM + Python workers) to exactly
@@ -183,7 +225,7 @@ def run_level(cpus: int, n_pages: int, pq: str) -> dict:
 
 def main():
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else N_PAGES
-    min_passes = int(os.environ.get("SPARK_GRAFT_SCALING_PASSES", "5"))
+    min_passes = int(os.environ.get("SPARK_GRAFT_SCALING_PASSES", "7"))
     max_passes = max(min_passes + 5, 10)
     pq = os.path.join(tempfile.gettempdir(), f"spark_geo_scaling_{n_pages}.parquet")
 
@@ -191,6 +233,7 @@ def main():
     while len(passes) < max_passes:
         p = {}
         for lv in LEVELS:
+            wait_quiet()
             p[lv] = run_level(lv, n_pages, pq)["runs"]
         passes.append(p)
         # mark stalls so far and stop once we have >= min_passes clean
