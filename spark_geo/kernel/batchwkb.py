@@ -671,3 +671,55 @@ def _loads_or_none(b):
         return W.loads(bytes(b))
     except Exception:  # malformed rows must not kill the job
         return None
+
+
+# -- header-only column accessors (type / Z / emptiness) ----------------
+
+_OGC_TO_LATTICE_LUT = np.full(8, -1, dtype=np.int32)
+for _ogc, _lat in W._OGC_TO_LATTICE.items():
+    _OGC_TO_LATTICE_LUT[_ogc] = _lat
+
+
+def batch_header(wkbs):
+    """Header-only vectorized parse of a WKB column.
+
+    Returns ``(lattice_type, has_z, is_container, ok)``: per-row lattice
+    type id (-1 for NULL / unparseable rows), the header Z flag (EWKB
+    0x80000000 or ISO +1000/+3000), whether the top-level type is a
+    container (MULTI*/GEOMETRYCOLLECTION — whose recursive attributes
+    like has_z need the scalar path), and the parse-ok mask.  Both byte
+    orders and the EWKB SRID flag are accepted; only the first 5 bytes
+    of each row are touched — no coordinate decode, no object creation.
+    """
+    n = len(wkbs)
+    buf = b"".join(
+        (b"\xff\0\0\0\0" if v is None or len(v) < 5 else bytes(v[:5]))
+        for v in wkbs)
+    h = np.frombuffer(buf, dtype=np.uint8).reshape(n, 5).astype(np.int64)
+    endian = h[:, 0]
+    t_le = h[:, 1] | (h[:, 2] << 8) | (h[:, 3] << 16) | (h[:, 4] << 24)
+    t_be = h[:, 4] | (h[:, 3] << 8) | (h[:, 2] << 16) | (h[:, 1] << 24)
+    t = np.where(endian == 1, t_le, t_be)
+    ok = (endian == 0) | (endian == 1)
+    t = t & ~0x20000000                      # EWKB SRID flag (ignored here)
+    z = (t & 0x80000000) != 0                # EWKB Z flag
+    t = np.where(z, t & 0x0FFFFFFF, t)
+    zm = (t >= 3000) & (t < 4000)            # ISO ZM
+    mo = (t >= 2000) & (t < 3000)            # ISO M (dropped)
+    zo = (t >= 1000) & (t < 2000)            # ISO Z
+    t = t - zm * 3000 - mo * 2000 - zo * 1000
+    z = z | zm | zo
+    ok &= (t >= 1) & (t <= 7)
+    t = np.where(ok, t, 0)
+    lattice = _OGC_TO_LATTICE_LUT[t]
+    return lattice, z & ok, ok & (lattice >= 4), ok
+
+
+def batch_is_empty(wkbs) -> tuple[np.ndarray, np.ndarray]:
+    """Row-wise is_empty via the structural decode: a geometry is EMPTY
+    iff it owns no finite coordinates (POINT EMPTY stores NaN; empty
+    containers/rings emit no runs — Geom.is_empty semantics, reference
+    predicates.py:135-159).  Returns (empty, ok); ~ok rows (big-endian,
+    Z, GC…) need the scalar path."""
+    R = decode_runs(wkbs)
+    return _empty_rows(R), R.ok

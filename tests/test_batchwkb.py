@@ -174,3 +174,46 @@ def test_decode_runs_rejects_malformed():
     a = BW.batch_area(col)
     assert np.isnan(a[0]) and np.isnan(a[1]) and np.isnan(a[2])
     assert a[3] == 0.0
+
+
+def test_batch_header_matches_scalar():
+    rng = random.Random(77)
+    col = _col(rng, 400)
+    # exotic encodings the header parse must classify or reject
+    from spark_geo.kernel.geom import Geom
+    pz = Geom(0, coords=np.array([[1.0, 2.0]]), has_z=True,
+              zs=np.array([5.0]))
+    col += [W.dumps_ext(pz, output_dimension=3),       # ISO Z
+            W.dumps_ext(from_wkt("POINT(3 4)"), byte_order=0),  # XDR
+            b"\x01\x63",                               # malformed
+            b"\x01"]                                   # truncated
+    g_srid = from_wkt("POINT(7 8)")
+    g_srid.srid = 4326
+    col.append(W.dumps_ext(g_srid, include_srid=True))  # EWKB SRID
+    lat, z, cont, ok = BW.batch_header(col)
+    from spark_geo.kernel import unary as U
+    for i, b in enumerate(col):
+        try:
+            g = None if b is None else W.loads(bytes(b))
+        except Exception:
+            g = None
+        if ok[i]:
+            assert lat[i] == (-1 if g is None else g.type_id), i
+            if not cont[i]:
+                assert bool(z[i]) == U.has_z(g), i
+        else:
+            assert g is None or len(b) < 5 or b[0] not in (0, 1), i
+
+
+def test_batch_is_empty_matches_scalar():
+    rng = random.Random(78)
+    col = _col(rng, 400)
+    col += [W.dumps(from_wkt("MULTIPOLYGON EMPTY")),
+            W.dumps(from_wkt("LINESTRING EMPTY")),
+            W.dumps(from_wkt("POINT EMPTY")), None]
+    empty, ok = BW.batch_is_empty(col)
+    for i, b in enumerate(col):
+        if not ok[i]:
+            continue
+        g = W.loads(bytes(b))
+        assert bool(empty[i]) == g.is_empty, i
