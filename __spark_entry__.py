@@ -271,8 +271,12 @@ def q_token_jaccard_dups(spark, sf_dir):
     """Near-dup pairs by distinct-token Jaccard >= 0.9 (n-gram/token
     Jaccard dedup over the documents table)."""
     d = _load(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = (d.select("doc_id", F.explode(F.split(F.trim("text"), "\\s+")).alias("tok"))
-            .distinct())
+    # explode_outer + isNotNull: avoids the inferred size()>0 filter
+    # that pushdown would re-evaluate below the scan (see text._tokens)
+    toks = (d.select("doc_id",
+                     F.explode_outer(F.split(F.trim("text"), "\\s+"))
+                     .alias("tok"))
+            .where(F.col("tok").isNotNull()).distinct())
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = toks.alias("a")
     b = toks.alias("b")
@@ -1028,6 +1032,14 @@ def q_winnow_dups(spark, sf_dir):
     tests/."""
     from spark_geo import text as TX
     d = _load(spark, sf_dir, "documents")
+    # The sf parquet is one unsplittable row group, so without the
+    # bench's split emulation this scan is ONE task — and the md5
+    # k-gram transform is the most CPU-expensive interpreted
+    # expression in the suite (~100 s single-threaded at sf0.01, the
+    # long pole of the oracle gate).  A real documents table is many
+    # splits; spread the 500-row scan explicitly (values unchanged,
+    # compare is order-insensitive).
+    d = d.repartition(spark.sparkContext.defaultParallelism)
     return (TX.winnow_candidate_pairs(d, k=8, window=4, min_shared=3,
                                       hash_mode="md5")
             .orderBy("da", "db"))

@@ -117,7 +117,14 @@ def _drop_hot_buckets(stacked: DataFrame, keys: list[str], max_bucket: int,
 
 
 def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    return (df.select(id_col, F.explode(
+    # explode_outer, not explode: Catalyst's InferFiltersFromGenerate
+    # turns a plain explode into a size(arr)>0 filter that predicate
+    # pushdown inlines BELOW the scan/exchange, re-evaluating the
+    # array expression several extra times on the narrow pre-shuffle
+    # side (measured 13x on the winnow md5 pipeline).  The outer
+    # variant infers nothing; the != '' filter already drops the NULL
+    # rows outer emits for empty arrays.
+    return (df.select(id_col, F.explode_outer(
         F.split(F.trim(F.col(text_col)), TOKEN_PATTERN)).alias("tok"))
         .where(F.col("tok") != "").distinct())
 
@@ -149,7 +156,9 @@ def _shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     toks = F.split(F.trim(F.col(text_col)), TOKEN_PATTERN)
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    return (df.select(id_col, F.explode(sh).alias("tok"))
+    # explode_outer: see _tokens — keeps the shingle transform out of
+    # an inferred pushed-down filter.
+    return (df.select(id_col, F.explode_outer(sh).alias("tok"))
             .where(F.col("tok") != "").distinct())
 
 
@@ -279,9 +288,9 @@ def simhash(df: DataFrame, id_col: str = "doc_id",
     digits of md5(token) (bit b = nibble b//4 from the right, bit b%4)
     — engine-portable for SQL-oracle verification; default xxhash64 is
     the fast path."""
-    toks = (df.select(id_col, F.explode(
+    toks = (df.select(id_col, F.explode_outer(
         F.split(F.trim(F.col(text_col)), TOKEN_PATTERN)).alias("tok"))
-        .where(F.col("tok") != ""))
+        .where(F.col("tok") != ""))  # outer: see _tokens (no inferred filter)
     if hash_mode == "md5":
         toks = toks.withColumn("_h16", F.substring(F.md5("tok"), 1, 16))
 
@@ -444,7 +453,12 @@ def winnow_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
         fp = winnow_fingerprints_sql(df, id_col, text_col, k, window)
     else:
         fp = winnow_fingerprints(df, id_col, text_col, k, window)
-    flat = fp.select(id_col, F.explode("fingerprints").alias("fp"))
+    # explode_outer + isNotNull: identical rows to a plain explode,
+    # but no inferred size()>0 filter — InferFiltersFromGenerate +
+    # pushdown inline the whole fingerprint expression ~6x below the
+    # exchange otherwise (measured 78s -> 6s at sf0.01; see _tokens).
+    flat = (fp.select(id_col, F.explode_outer("fingerprints").alias("fp"))
+            .where(F.col("fp").isNotNull()))
     max_bucket = _resolve_cap(max_bucket)
     if max_bucket:
         flat = _drop_hot_buckets(flat, ["fp"], max_bucket,

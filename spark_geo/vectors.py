@@ -227,7 +227,12 @@ def ivf_topk(probes: DataFrame, corpus: DataFrame,
     p = (ivf_probe_cells(probes.select(F.col(probe_id), F.col(vec_col)),
                          centroids, n_probe=n_probe, vec_col=vec_col)
          .withColumnRenamed(vec_col, "_pv")
-         .select(probe_id, "_pv", F.explode("ivf_cells").alias("_cell")))
+         # outer + isNotNull: stops InferFiltersFromGenerate from
+         # pushing a size(ivf_cells)>0 filter below the project that
+         # computes the probe-cell argmin (see text._tokens).
+         .select(probe_id, "_pv",
+                 F.explode_outer("ivf_cells").alias("_cell"))
+         .where(F.col("_cell").isNotNull()))
     cand = (p.join(c, "_cell")
             .where(F.col(probe_id) != F.col(corpus_id)))
     sim = _dot("_pv", "_cv") / (_norm("_pv") * _norm("_cv"))
