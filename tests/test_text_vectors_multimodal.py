@@ -437,3 +437,40 @@ def test_cache_lifecycle_released(spark):
                 max_cell=4, skew_stats=st).count()
     assert len(VX._LIVE_CACHES) == 1
     assert VX.release_caches() == 1
+
+
+def test_winnow_plan_no_inferred_generate_filter(spark):
+    """InferFiltersFromGenerate regression guard: the md5 fingerprint
+    expression must appear exactly once in the executed plan.  A plain
+    explode makes Catalyst infer size(arr)>0 and pushdown inlines the
+    whole fingerprint pipeline ~6x into a pre-exchange Filter (13x
+    slowdown measured at sf0.01); explode_outer + isNotNull keeps the
+    expression single-evaluation (see PLANS.md)."""
+    rows = [(i, f"document body text number {i} with shared boilerplate")
+            for i in range(20)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = TX.winnow_fingerprints_sql(d, k=8, window=4)
+    flat = (fp.select("doc_id",
+                      F.explode_outer("fingerprints").alias("fp"))
+            .where(F.col("fp").isNotNull()))
+    plan = flat._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("md5") == 1, plan
+    # and the operator path builds the same shape
+    pairs = TX.winnow_candidate_pairs(d, k=8, window=4, min_shared=2,
+                                      hash_mode="md5", max_bucket=None)
+    assert pairs.columns == ["da", "db", "n_shared"]
+    TX.release_caches()
+
+
+def test_tokens_explode_outer_matches_plain(spark):
+    """explode_outer + filters must yield the identical row set as the
+    old plain-explode path, including empty/whitespace-only docs."""
+    rows = [(1, "alpha beta alpha"), (2, ""), (3, "   "), (4, None),
+            (5, "gamma")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(map(tuple, TX._tokens(d, "doc_id", "text").collect()))
+    exp = sorted(map(tuple, d.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")),
+                                    TX.TOKEN_PATTERN)).alias("tok"))
+        .where(F.col("tok") != "").distinct().collect()))
+    assert got == exp
