@@ -141,10 +141,20 @@ def fit_centroids(df: DataFrame, k: int = 16, *, vec_col: str = "embedding",
                   sample: int = 20_000, iters: int = 10,
                   seed: int = 7) -> list[list[float]]:
     """Driver-side Lloyd k-means over a bounded sample — the offline
-    clustering that feeds IVF.  The sample is capped (``limit``), so
-    this is metadata-scale work no matter the corpus size; the
-    centroid list is then broadcast into Catalyst expressions."""
-    pdf = df.select(vec_col).limit(sample).toPandas()
+    clustering that feeds IVF.  The sample is capped, so this is
+    metadata-scale work no matter the corpus size; the centroid list
+    is then broadcast into Catalyst expressions.
+
+    Sampling is UNIFORM over the corpus (per-partition Bernoulli via
+    ``df.sample`` — no shuffle), not ``limit``: limit takes the first
+    rows of the first splits, which at 100 TB biases the centroids to
+    one file/time-range and starves every other cell.  The count that
+    sizes the fraction is a parquet-metadata aggregate for plain
+    scans."""
+    n = df.count()
+    frac = min(1.0, (sample * 1.5) / max(n, 1))
+    pdf = (df.select(vec_col).sample(fraction=frac, seed=seed)
+           .limit(sample).toPandas())
     X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
     rng = np.random.RandomState(seed)
     C = X[rng.choice(len(X), size=min(k, len(X)), replace=False)]
