@@ -123,13 +123,17 @@ def _nation_boxes(spark, sf_dir) -> DataFrame:
 
 def q_pip_join_count(spark, sf_dir):
     """Two-phase spatial join (broadcast STRtree + ray-cast PIP refine):
-    customer points in nation boxes, count per box."""
+    customer points in nation boxes, count per box.  r6: probes go
+    through the lon/lat double fast path (broadcast_lonlat_join) — no
+    WKB encode/decode on the point side, same rows (the WKB point
+    round-trip is coordinate-exact)."""
     ship_package(spark)
-    pts = _cust_points(spark, sf_dir).select(
-        F.col("c_custkey").alias("left_id"), "point")
+    pts = _cust_points(spark, sf_dir)
     layer = _nation_boxes(spark, sf_dir).select("polygon_id", "geom")
-    j = SJ.broadcast_spatial_join(pts, layer, predicate="intersects",
-                                  left_geom="point", right_id="polygon_id")
+    j = SJ.broadcast_lonlat_join(pts, layer, lon="lon", lat="lat",
+                                 predicate="intersects",
+                                 right_id="polygon_id",
+                                 keep=["c_custkey"])
     return (j.groupBy("polygon_id").agg(F.count(F.lit(1)).alias("n_points"))
             .orderBy("polygon_id"))
 
@@ -138,12 +142,13 @@ def q_pip_contains_pairs(spark, sf_dir):
     """Strict-containment pairs (boundary points excluded — the
     reference's contains semantics, predicates.py:470-519)."""
     ship_package(spark)
-    pts = _cust_points(spark, sf_dir).select(
-        F.col("c_custkey").alias("left_id"), "point")
+    pts = _cust_points(spark, sf_dir)
     layer = _nation_boxes(spark, sf_dir).select("polygon_id", "geom")
-    j = SJ.broadcast_spatial_join(pts, layer, predicate="within",
-                                  left_geom="point", right_id="polygon_id")
-    return j.select(F.col("left_id").alias("c_custkey"), "polygon_id")
+    j = SJ.broadcast_lonlat_join(pts, layer, lon="lon", lat="lat",
+                                 predicate="within",
+                                 right_id="polygon_id",
+                                 keep=["c_custkey"])
+    return j.select("c_custkey", "polygon_id")
 
 
 def q_cell_assign(spark, sf_dir):
@@ -167,12 +172,12 @@ def q_dwithin_join(spark, sf_dir):
     """Distance join: customer✕supplier pairs within 15 degrees
     (broadcast tree + dwithin refine; reference predicates.py:1009)."""
     ship_package(spark)
-    pts = _cust_points(spark, sf_dir).select(F.col("c_custkey"), F.col("point"))
+    pts = _cust_points(spark, sf_dir)
     supp = _supp_points(spark, sf_dir).select(
         F.col("s_suppkey").alias("right_id"), F.col("point").alias("geom"))
-    j = SJ.broadcast_spatial_join(pts, supp, predicate="dwithin",
-                                  distance=DWITHIN_D, left_geom="point",
-                                  right_id="right_id")
+    j = SJ.broadcast_lonlat_join(pts, supp, lon="lon", lat="lat",
+                                 predicate="dwithin", distance=DWITHIN_D,
+                                 right_id="right_id", keep=["c_custkey"])
     return j.select("c_custkey", F.col("right_id").alias("s_suppkey"))
 
 
@@ -180,10 +185,11 @@ def q_knn_nearest(spark, sf_dir):
     """Nearest supplier per customer, deterministic lowest-id tie-break
     (reference nearest, strtree.py:231-275, made deterministic)."""
     ship_package(spark)
-    pts = _cust_points(spark, sf_dir).select("c_custkey", "point")
+    pts = _cust_points(spark, sf_dir)
     supp = _supp_points(spark, sf_dir).select(
         F.col("s_suppkey").alias("right_id"), F.col("point").alias("geom"))
-    nn = SK.nearest(pts, supp, left_geom="point", right_id="right_id")
+    nn = SK.nearest_lonlat(pts, supp, lon="lon", lat="lat",
+                           right_id="right_id", keep=["c_custkey"])
     return nn.select("c_custkey", F.col("right_id").alias("s_suppkey"),
                      F.round("distance", 6).alias("dist_r"))
 

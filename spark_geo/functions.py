@@ -1119,23 +1119,49 @@ def st_cell(geom_col, res: int):
 
 
 def st_cell_lonlat(lon, lat, res: int):
-    """(lon, lat) doubles -> cell id — pure NumPy, and exactly
-    reproducible in SQL via kernel.cell.cell_sql_expr."""
-    @pandas_udf(T.LongType())
-    def _udf(x: pd.Series, y: pd.Series) -> pd.Series:
-        return pd.Series(K_cell.cell_of(
-            x.to_numpy(dtype=np.float64, na_value=np.nan),
-            y.to_numpy(dtype=np.float64, na_value=np.nan), res))
-    return _udf(lon, lat)
+    """(lon, lat) doubles -> cell id — pure Catalyst arithmetic (r6,
+    guide §4.1: the cell id is the same floor/clip/pack formula as
+    kernel.cell.cell_sql_expr, so evaluating it as JVM expressions
+    removes the ArrowEvalPython crossing the former pandas UDF paid on
+    every tile/cell query).  NULL/NaN coords -> -1, exactly like
+    kernel.cell.cell_of."""
+    if not 0 <= res <= K_cell.MAX_RES:
+        raise ValueError(f"resolution must be in [0, {K_cell.MAX_RES}]")
+    x = (F.col(lon) if isinstance(lon, str) else lon).cast("double")
+    y = (F.col(lat) if isinstance(lat, str) else lat).cast("double")
+    n = 1 << res
+    bad = x.isNull() | y.isNull() | F.isnan(x) | F.isnan(y)
+    ix = F.least(F.greatest(F.floor((x + 180.0) / 360.0 * n),
+                            F.lit(0).cast("long")),
+                 F.lit(n - 1).cast("long"))
+    iy = F.least(F.greatest(F.floor((y + 90.0) / 180.0 * n),
+                            F.lit(0).cast("long")),
+                 F.lit(n - 1).cast("long"))
+    cell = (F.lit(res << K_cell._RES_SHIFT).cast("long")
+            + iy * F.lit(1 << K_cell._IY_SHIFT).cast("long") + ix)
+    return F.when(bad, F.lit(-1).cast("long")).otherwise(cell)
 
 
 def st_cell_parent(cell_col, parent_res: int):
-    """Parent cell for tile rollups."""
-    @pandas_udf(T.LongType())
-    def _udf(c: pd.Series) -> pd.Series:
-        return pd.Series(K_cell.cell_parent(
-            c.to_numpy(dtype=np.int64, na_value=-1), parent_res))
-    return _udf(cell_col)
+    """Parent cell for tile rollups — pure Catalyst (r6): mask/shift
+    arithmetic identical to kernel.cell.cell_parent, with the same
+    failure semantics (any row whose resolution is finer than
+    ``parent_res``, including -1 cells, fails the job)."""
+    c = (F.col(cell_col) if isinstance(cell_col, str)
+         else cell_col).cast("long")
+    r = F.shiftright(c, K_cell._RES_SHIFT)
+    ix = c.bitwiseAND(F.lit(K_cell._IX_MASK))
+    iy = F.shiftright(c, K_cell._IY_SHIFT).bitwiseAND(F.lit(K_cell._IY_MASK))
+    shift = (r - F.lit(parent_res)).cast("int")
+    # variable-distance shiftright via call_function (the Python
+    # shiftright helper only takes literal distances)
+    pix = F.call_function("shiftright", ix, shift)
+    piy = F.call_function("shiftright", iy, shift)
+    out = (F.lit(parent_res << K_cell._RES_SHIFT).cast("long")
+           + piy * F.lit(1 << K_cell._IY_SHIFT).cast("long") + pix)
+    guard = F.assert_true(
+        shift >= 0, F.lit("parent_res must be <= cell resolution"))
+    return out + F.coalesce(guard.cast("long"), F.lit(0).cast("long"))
 
 
 def st_cell_cover(geom_col, res: int):

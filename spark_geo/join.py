@@ -77,6 +77,24 @@ def _probe_batch_points(tree: STRtree, xs, ys, predicate, distance):
         return np.empty(0, np.int64), np.empty(0, np.int64)
     if predicate is None:
         return cl, tree._idx[cr]
+    # all-point tree: ONE vectorized hypot over the candidate pairs
+    # replaces the argsort + per-tree-geometry Python loop (r6, guide
+    # §4.2 — the loop's per-geometry dispatch dominated dwithin joins
+    # against point layers).  Semantics identical to
+    # point_predicate_mask on a point geometry: distance <= d for
+    # dwithin, vertex coincidence (<= 1e-12) for intersects/within/
+    # covered_by, never True for touches.
+    tp = _tree_point_coords(tree)
+    if tp is not None:
+        txs, tys = tp
+        d = np.hypot(xs[cl] - txs[cr], ys[cl] - tys[cr])
+        if predicate == "dwithin":
+            keep = d <= distance
+        elif predicate in ("intersects", "within", "covered_by"):
+            keep = d <= 1e-12
+        else:  # touches: a point never touches a point
+            keep = np.zeros(len(cl), dtype=bool)
+        return cl[keep], tree._idx[cr[keep]]
     order = np.argsort(cr, kind="stable")
     cl, cr = cl[order], cr[order]
     uniq, starts = np.unique(cr, return_index=True)
@@ -140,6 +158,27 @@ def point_predicate_mask(g, px, py, predicate, distance=None):
     eq = (d <= 1e-12).any(axis=1)
     return eq if predicate in ("intersects", "within", "covered_by") else \
         np.zeros(len(px), dtype=bool)
+
+
+def _tree_point_coords(tree: STRtree):
+    """(txs, tys) per tree ITEM POSITION when every indexed geometry is
+    a single non-empty point, else None; cached on the (per-worker,
+    broadcast-deserialized) tree object.  Point items have degenerate
+    envelopes, so the coordinates are the boxes' min corners — no
+    geometry walk needed beyond the one-time type check."""
+    cached = getattr(tree, "_point_coords_cache", None)
+    if cached is not None:
+        return cached[0]
+    coords = None
+    if len(tree._idx):
+        all_pts = all(
+            (g := tree._geoms[i]).type_id == 0 and not g.is_empty
+            and g.coords is not None and len(g.coords) == 1
+            for i in tree._idx)
+        if all_pts:
+            coords = (tree._boxes[:, 0], tree._boxes[:, 1])
+    tree._point_coords_cache = (coords,)
+    return coords
 
 
 def _tree_cell_index(tree: STRtree, pad: float):

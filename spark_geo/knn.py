@@ -107,9 +107,143 @@ def broadcast_nearest_all(left: DataFrame, right: DataFrame, *,
 
 
 def _nearest_all_points(xs, ys, txs, tys, tpos, max_distance):
-    """Vectorized all-ties nearest: chunked (batch ✕ items) distance
-    matrix, exact min + exact-equality ties (the all-equidistant
-    semantics of reference strtree.py:278-355)."""
+    """Vectorized all-ties nearest (the all-equidistant semantics of
+    reference strtree.py:278-355).
+
+    Physical algorithm (r6, guide §1.2 "the distributed algorithm
+    first"): a uniform grid bucket index over the right points replaces
+    the (batch ✕ items) distance matrix — expected work per probe is
+    O(points per occupied cell), not O(m).  Exactness is preserved: the
+    ring expansion stops only when the running minimum provably beats
+    every unvisited cell (cell-index delta >= k+1 implies coordinate
+    distance >= k * cell_width), and the final all-ties gather
+    recomputes np.hypot over the full disk of radius ceil(best/cw)+1,
+    keeping d == best ties by exact float equality — bit-identical to
+    the former matrix path (same np.hypot, same comparisons; verified
+    in tests/test_knn_grid.py)."""
+    n, m = len(xs), len(txs)
+    if m == 0:
+        return (np.empty(0, np.int64),) * 2 + (np.empty(0),)
+    if m <= 64:
+        # tiny trees: one (n x m) matrix is cheaper than grid setup
+        return _nearest_all_points_matrix(xs, ys, txs, tys, tpos,
+                                          max_distance)
+    # -- grid build over the right points -----------------------------
+    xmin, xmax = txs.min(), txs.max()
+    ymin, ymax = tys.min(), tys.max()
+    span = max(xmax - xmin, ymax - ymin, 1e-300)
+    n_side = int(np.clip(np.sqrt(m), 1, 1 << 15))
+    cw = span / n_side
+    tix = np.clip(((txs - xmin) / cw).astype(np.int64), 0, n_side - 1)
+    tiy = np.clip(((tys - ymin) / cw).astype(np.int64), 0, n_side - 1)
+    tcells = tiy * n_side + tix
+    order = np.argsort(tcells, kind="stable")
+    tcells_s = tcells[order]
+    txs_s, tys_s, tpos_s = txs[order], tys[order], tpos[order]
+
+    def gather(cells, rix):
+        """flat (cell, probe_row) pairs -> per-candidate (probe_row,
+        sorted-item index) via two searchsorted calls (the same
+        candidate expansion as join._point_candidates)."""
+        lo = np.searchsorted(tcells_s, cells, side="left")
+        hi = np.searchsorted(tcells_s, cells, side="right")
+        counts = hi - lo
+        tot = int(counts.sum())
+        if tot == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        starts = np.repeat(lo, counts)
+        csum = np.cumsum(counts) - counts
+        intra = np.arange(tot, dtype=np.int64) - np.repeat(csum, counts)
+        return np.repeat(rix, counts), starts + intra
+
+    valid = ~(np.isnan(xs) | np.isnan(ys))
+    sxs = np.where(valid, xs, 0.0)
+    sys_ = np.where(valid, ys, 0.0)
+    gx = np.clip(((sxs - xmin) / cw).astype(np.int64), 0, n_side - 1)
+    gy = np.clip(((sys_ - ymin) / cw).astype(np.int64), 0, n_side - 1)
+
+    # -- phase 1: ring expansion until the minimum is proven ----------
+    best = np.full(n, np.inf)
+    alive = valid.copy()
+    k = 0
+    while alive.any() and k <= n_side:
+        rows = np.nonzero(alive)[0]
+        if k == 0:
+            sdx = np.zeros(1, np.int64)
+            sdy = np.zeros(1, np.int64)
+        else:  # shell at Chebyshev cell distance exactly k
+            e = np.arange(-k, k + 1, dtype=np.int64)
+            mid = np.arange(-k + 1, k, dtype=np.int64)
+            sdx = np.concatenate([e, e, np.full(len(mid), -k, np.int64),
+                                  np.full(len(mid), k, np.int64)])
+            sdy = np.concatenate([np.full(len(e), k, np.int64),
+                                  np.full(len(e), -k, np.int64), mid, mid])
+        cx = gx[rows][:, None] + sdx[None, :]
+        cy = gy[rows][:, None] + sdy[None, :]
+        okc = (cx >= 0) & (cx < n_side) & (cy >= 0) & (cy < n_side)
+        prow, item = gather((cy * n_side + cx)[okc],
+                            np.repeat(rows, okc.sum(axis=1)))
+        if len(item):
+            d = np.hypot(xs[prow] - txs_s[item], ys[prow] - tys_s[item])
+            np.minimum.at(best, prow, d)
+        done = best[rows] <= k * cw
+        if max_distance is not None:
+            done |= (k * cw) > max_distance
+        alive[rows[done]] = False
+        k += 1
+
+    # -- phase 2: exact all-ties disk gather --------------------------
+    have = valid & np.isfinite(best)
+    if max_distance is not None:
+        have &= best <= max_distance
+    rows = np.nonzero(have)[0]
+    if not len(rows):
+        return (np.empty(0, np.int64),) * 2 + (np.empty(0),)
+    kf = np.minimum(np.ceil(best[rows] / cw), float(n_side)) \
+        .astype(np.int64) + 1
+    lefts, rights, dists = [], [], []
+    order2 = np.argsort(kf)
+    budget = 1 << 22
+    i = 0
+    while i < len(rows):
+        j = i + 1
+        while j < len(rows) and (j - i + 1) * \
+                (2 * int(kf[order2[j]]) + 1) ** 2 <= budget:
+            j += 1
+        sel = order2[i:j]
+        kk = int(kf[sel].max())
+        e = np.arange(-kk, kk + 1, dtype=np.int64)
+        ddx = np.repeat(e, 2 * kk + 1)
+        ddy = np.tile(e, 2 * kk + 1)
+        rr = rows[sel]
+        cx = gx[rr][:, None] + ddx[None, :]
+        cy = gy[rr][:, None] + ddy[None, :]
+        okc = (cx >= 0) & (cx < n_side) & (cy >= 0) & (cy < n_side)
+        okc &= np.maximum(np.abs(ddx), np.abs(ddy))[None, :] \
+            <= kf[sel][:, None]
+        prow, item = gather((cy * n_side + cx)[okc],
+                            np.repeat(rr, okc.sum(axis=1)))
+        if len(item):
+            d = np.hypot(xs[prow] - txs_s[item], ys[prow] - tys_s[item])
+            tie = d == best[prow]
+            lefts.append(prow[tie])
+            rights.append(tpos_s[item[tie]])
+            dists.append(d[tie])
+        i = j
+    if not lefts:
+        return (np.empty(0, np.int64),) * 2 + (np.empty(0),)
+    li = np.concatenate(lefts)
+    ri = np.concatenate(rights)
+    dd = np.concatenate(dists)
+    # row-major (left, right-position) order like the matrix path's
+    # np.nonzero — downstream tie-breaks (lexsort) do not depend on it,
+    # but keep the contract deterministic
+    order3 = np.lexsort((ri, li))
+    return li[order3], ri[order3], dd[order3]
+
+
+def _nearest_all_points_matrix(xs, ys, txs, tys, tpos, max_distance):
+    """Small-tree fallback: chunked (batch ✕ items) distance matrix."""
     n, m = len(xs), len(txs)
     lefts, rights, dists = [], [], []
     chunk = max(1, int(4e7 // max(m, 1)))
@@ -129,6 +263,85 @@ def _nearest_all_points(xs, ys, txs, tys, tpos, max_distance):
     if not lefts:
         return (np.empty(0, np.int64),) * 2 + (np.empty(0),)
     return np.concatenate(lefts), np.concatenate(rights), np.concatenate(dists)
+
+
+def nearest_all_lonlat(left: DataFrame, right: DataFrame, *,
+                       lon: str = "lon", lat: str = "lat",
+                       right_geom: str = "geom",
+                       right_id: str = "right_id",
+                       max_distance: float | None = None,
+                       keep: list[str] | None = None,
+                       _single: bool = False) -> DataFrame:
+    """All-ties nearest straight from lon/lat DOUBLE columns — the
+    broadcast_lonlat_join analogue for kNN (r6, guide §2.3/§4.1): only
+    the ``keep`` columns + 16 B of lon/lat doubles cross the Python
+    boundary; no WKB is encoded or decoded on the probe side.  Results
+    are identical to broadcast_nearest_all over st_point(lon, lat)
+    (the WKB point round-trip is coordinate-exact).
+
+    Output: keep columns + right_id + distance.  Falls back to probing
+    the STRtree with point geometries when the right side is not
+    all-points."""
+    rows = right.select(right_id, right_geom).collect()
+    ids = np.asarray([r[0] for r in rows], dtype=np.int64)
+    geoms = [SG._loads_safe(r[1]) for r in rows]
+    tree = STRtree(geoms)
+    pts = None
+    if len(tree) and len(tree) <= 200_000 and all(
+            geoms[i].type_id == 0 for i in tree._idx):
+        txs = np.asarray([geoms[i].coords[0, 0] for i in tree._idx])
+        tys = np.asarray([geoms[i].coords[0, 1] for i in tree._idx])
+        pts = (txs, tys, tree._idx.copy())
+    bc = left.sparkSession.sparkContext.broadcast((tree, ids, pts))
+    keep = keep or []
+    src = left.select(*(keep + [lon, lat]))
+    fields = [src.schema[c] for c in keep]
+    fields.append(T.StructField(right_id, T.LongType()))
+    fields.append(T.StructField("distance", T.DoubleType()))
+    out_schema = T.StructType(fields)
+    lon_pos, lat_pos = len(keep), len(keep) + 1
+
+    def run(batches):
+        from .kernel.geom import Geom
+        tree_l, ids_l, pts_l = bc.value
+        for pdf in batches:
+            xs = pdf.iloc[:, lon_pos].to_numpy(dtype=np.float64,
+                                               na_value=np.nan)
+            ys = pdf.iloc[:, lat_pos].to_numpy(dtype=np.float64,
+                                               na_value=np.nan)
+            if pts_l is not None:
+                li, ri, dd = _nearest_all_points(xs, ys, *pts_l,
+                                                 max_distance)
+                rids = ids_l[ri]
+            else:
+                probes = [None if np.isnan(x) else Geom.point(x, y)
+                          for x, y in zip(xs, ys)]
+                pairs, dd = tree_l.nearest_all(
+                    probes, max_distance=max_distance,
+                    return_distance=True)
+                li, rids = np.asarray(pairs[0]), ids_l[pairs[1]]
+                dd = np.asarray(dd)
+            if _single:
+                li, rids, dd = _lowest_id_per_left(li, rids, dd)
+            out = pdf.iloc[li, :len(keep)].reset_index(drop=True)
+            out[right_id] = rids
+            out["distance"] = dd
+            yield out
+
+    return src.mapInPandas(run, schema=out_schema)
+
+
+def nearest_lonlat(left: DataFrame, right: DataFrame, *,
+                   lon: str = "lon", lat: str = "lat",
+                   right_geom: str = "geom", right_id: str = "right_id",
+                   max_distance: float | None = None,
+                   keep: list[str] | None = None) -> DataFrame:
+    """nearest() from lon/lat doubles: one row per left row, lowest
+    right-id tie-break inside the worker — zero exchanges, no WKB."""
+    return nearest_all_lonlat(left, right, lon=lon, lat=lat,
+                              right_geom=right_geom, right_id=right_id,
+                              max_distance=max_distance, keep=keep,
+                              _single=True)
 
 
 def nearest(left: DataFrame, right: DataFrame, *,

@@ -104,9 +104,18 @@ GEO_PATTERN = r"located at (-?\d+\.\d+),(-?\d+\.\d+)"
 def geocode(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Extract 'located at <lat>,<lon>' geotags (deterministic regex
     gazetteer per SURVEY.md §2.11); rows without a tag get NULL lat/lon
-    and are dropped from joins downstream (inner-join semantics)."""
-    lat = F.regexp_extract(F.col(text_col), GEO_PATTERN, 1)
-    lon = F.regexp_extract(F.col(text_col), GEO_PATTERN, 2)
+    and are dropped from joins downstream (inner-join semantics).
+
+    r6 (guide §1.2 per-task work): ONE regexp evaluation per row — the
+    full match is taken once and split on the comma with plain string
+    ops; the former per-group extraction ran the same Java regex twice
+    per row.  Output values are identical: group 1/2 of GEO_PATTERN
+    are exactly the comma-separated halves of the match after the
+    11-char 'located at ' prefix."""
+    m = F.regexp_extract(F.col(text_col), GEO_PATTERN, 0)
+    body = F.substring(m, 12, 2_000_000)        # strip 'located at '
+    lat = F.substring_index(body, ",", 1)
+    lon = F.substring_index(body, ",", -1)
     return (df.withColumn("lat", F.when(lat != "", lat.cast("double")))
               .withColumn("lon", F.when(lon != "", lon.cast("double"))))
 

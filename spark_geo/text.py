@@ -116,7 +116,8 @@ def _drop_hot_buckets(stacked: DataFrame, keys: list[str], max_bucket: int,
     return stacked.join(F.broadcast(hot_keys), keys, "left_anti")
 
 
-def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def _tokens(df: DataFrame, id_col: str, text_col: str,
+            distinct: bool = True) -> DataFrame:
     # explode_outer, not explode: Catalyst's InferFiltersFromGenerate
     # turns a plain explode into a size(arr)>0 filter that predicate
     # pushdown inlines BELOW the scan/exchange, re-evaluating the
@@ -124,9 +125,14 @@ def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # side (measured 13x on the winnow md5 pipeline).  The outer
     # variant infers nothing; the != '' filter already drops the NULL
     # rows outer emits for empty arrays.
-    return (df.select(id_col, F.explode_outer(
+    #
+    # ``distinct=False`` (r6): duplicate-insensitive consumers (the
+    # minhash MIN aggregates) skip the (id, tok) dedup shuffle — the
+    # exploded stream feeds the partial aggregate directly.
+    out = (df.select(id_col, F.explode_outer(
         F.split(F.trim(F.col(text_col)), TOKEN_PATTERN)).alias("tok"))
-        .where(F.col("tok") != "").distinct())
+        .where(F.col("tok") != ""))
+    return out.distinct() if distinct else out
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id",
@@ -176,13 +182,25 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     ``hash_mode='md5'`` uses seeded md5 hex strings (min over
     fixed-length hex = numeric order) — slower but engine-portable, so
     the whole pipeline is verifiable verbatim in any ANSI SQL engine."""
+    # MIN is duplicate-insensitive, so the signature aggregate never
+    # needs the distinct (id, element) shuffle (r6, guide §2.4)
     toks = _shingles(df, id_col, text_col, shingle_size) \
-        if shingle_size else _tokens(df, id_col, text_col)
+        if shingle_size else _tokens(df, id_col, text_col, distinct=False)
     if hash_mode == "md5":
         aggs = [F.min(F.md5(F.concat_ws(":", F.col("tok"), F.lit(str(i)))))
                 .alias(f"h{i}") for i in range(n_hashes)]
     else:
-        aggs = [F.min(F.xxhash64(F.col("tok"), F.lit(i))).alias(f"h{i}")
+        # hash the token STRING once, derive the n-member family from
+        # the resulting long (r6, guide §1.2 per-task work): the former
+        # family re-hashed the variable-length string n times per
+        # token occurrence; hashing (base, seed_i) touches 8 fixed
+        # bytes — same minhash guarantees (a seeded xxhash64 family
+        # over injectively-derived keys), ~n x less string hashing.
+        # The md5 mode above is the SQL-oracle-portable family and is
+        # byte-frozen; this production family is recall-tested in
+        # tests/ against exact Jaccard.
+        toks = toks.withColumn("_th", F.xxhash64(F.col("tok")))
+        aggs = [F.min(F.xxhash64(F.col("_th"), F.lit(i))).alias(f"h{i}")
                 for i in range(n_hashes)]
     return toks.groupBy(id_col).agg(*aggs)
 
@@ -232,12 +250,43 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
     if max_bucket:
         stacked = _drop_hot_buckets(stacked, ["band", "bucket"], max_bucket,
                                     skew_stats, "lsh_candidate_pairs", caches)
-    x, y = stacked.alias("x"), stacked.alias("y")
+    # Emit each pair from its FIRST shared band only (r6, guide §2.3/
+    # §2.4): a near-identical pair collides in every band, so the
+    # former union-then-distinct shuffled ~bands x the distinct-pair
+    # volume through a full exchange just to dedup.  Carrying every
+    # doc's per-band bucket vector (tiny: one row per doc) lets a
+    # pipelined post-join FILTER keep only the first collision — the
+    # result SET is identical (null-safe per-band compares reproduce
+    # the hot-bucket drop exactly: a dropped (doc, band) row is null
+    # and never counts as a collision) and the dedup exchange
+    # disappears from the plan.
+    surv = stacked.groupBy(id_col).agg(
+        *[F.max(F.when(F.col("band") == b, F.col("bucket"))).alias(f"_b{b}")
+          for b in range(bands)])
+    entries = [F.struct(F.lit(b).alias("band"),
+                        F.col(f"_b{b}").alias("bucket"))
+               for b in range(bands)]
+    flat = (surv.select(F.col(id_col), *[f"_b{b}" for b in range(bands)],
+                        F.explode(F.array(*entries)).alias("bb"))
+            .select(id_col, *[f"_b{b}" for b in range(bands)],
+                    "bb.band", "bb.bucket")
+            .where(F.col("bucket").isNotNull()))
+    x, y = flat.alias("x"), flat.alias("y")
+    shared = [F.coalesce(F.col(f"x._b{j}") == F.col(f"y._b{j}"),
+                         F.lit(False)) for j in range(bands)]
+    first_band = F.lit(True)
+    for b in range(bands - 1, 0, -1):
+        no_prev = F.lit(True)
+        for j in range(b):
+            no_prev = no_prev & ~shared[j]
+        first_band = F.when(F.col("x.band") == b, no_prev) \
+            .otherwise(first_band)
     return (x.join(y, (F.col("x.band") == F.col("y.band"))
                    & (F.col("x.bucket") == F.col("y.bucket"))
                    & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")))
-            .select(F.col(f"x.{id_col}").alias("da"), F.col(f"y.{id_col}").alias("db"))
-            .distinct())
+            .where(first_band)
+            .select(F.col(f"x.{id_col}").alias("da"),
+                    F.col(f"y.{id_col}").alias("db")))
 
 
 def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
@@ -615,8 +664,10 @@ BPE_TOKEN_PATTERN = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]+"
 def bpe_token_count(col):
     """Subword-style token count (whitespace split overcounts prose
     with punctuation; BPE pre-tokenization is the training-data
-    convention).  Pure Catalyst regexp."""
-    return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_PATTERN), F.lit(0)))
+    convention).  Pure Catalyst regexp — ``regexp_count`` (r6) counts
+    the non-overlapping matches without materializing the match array
+    the former size(regexp_extract_all(...)) allocated per row."""
+    return F.regexp_count(col, F.lit(BPE_TOKEN_PATTERN))
 
 
 # language profiles: high-frequency marker words (public common-word
