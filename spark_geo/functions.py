@@ -318,7 +318,11 @@ def st_coordinate_dimension(b: pd.Series) -> pd.Series:
     wl = list(b)
     lat, z, cont, ok = K_bw.batch_header(wl)
     out = np.where(z, 3, 2).astype(np.int32)
-    for i in np.nonzero(~ok | cont)[0]:
+    # z-flagged rows take the scalar path too (r6, ADVICE r5): POINT Z
+    # EMPTY decodes to zs=None, so the header flag over-reports — and
+    # the same bytes nested in a GC would answer via the scalar
+    # fallback; rare rows, consistency over speed
+    for i in np.nonzero(~ok | cont | z)[0]:
         g = _loads_safe(wl[i])
         out[i] = -1 if g is None else K_u.get_coordinate_dimension(g)
     return pd.Series(out, dtype="int32")
@@ -626,12 +630,14 @@ st_is_valid = _unary_bool(K_u.is_valid)
 
 @pandas_udf(T.BooleanType())
 def st_has_z(b: pd.Series) -> pd.Series:
-    """has_z (reference predicates.py:39-69) — header Z flag for simple
-    types; containers scalar (has_z recurses into parts)."""
+    """has_z (reference predicates.py:39-69) — header-only for 2D
+    simple types; containers AND z-flagged rows scalar (has_z recurses
+    into parts, and an empty Z geometry decodes to zs=None so the
+    header flag alone over-reports — r6, ADVICE r5)."""
     wl = list(b)
     _, z, cont, ok = K_bw.batch_header(wl)
     out = z.copy()
-    for i in np.nonzero(~ok | cont)[0]:
+    for i in np.nonzero(~ok | cont | z)[0]:
         out[i] = K_u.has_z(_loads_safe(wl[i]))
     return pd.Series(out)
 

@@ -43,6 +43,26 @@ from . import functions as SG
 
 _POINT_FAST_PREDICATES = {"intersects", "within", "covered_by", "dwithin", "touches"}
 
+# Hard cap on the rows a DIRECT broadcast API will collect to the
+# driver (r6, VERDICT r5 item 4): the auto-picker (spatial_join)
+# already limit-probes before choosing broadcast, but a user calling
+# broadcast_* with a huge right side previously got a driver OOM
+# instead of an actionable error.  The cap is enforced by collecting
+# AT MOST limit+1 rows (no extra count job).
+BROADCAST_RIGHT_LIMIT = 5_000_000
+
+
+def _collect_right(right, cols, limit, api):
+    rows = right.select(*cols).limit(limit + 1).collect()
+    if len(rows) > limit:
+        raise ValueError(
+            f"{api}: right side exceeds {limit} rows; a side this "
+            "large cannot be broadcast as a driver-built tree — use "
+            "cell_spatial_join / cell_nearest_all (the large-by-large "
+            "plans), or raise the limit explicitly if the driver has "
+            "the memory")
+    return rows
+
 
 # ---------------------------------------------------------------------------
 # batch-level probe (runs inside the Python worker)
@@ -293,7 +313,8 @@ def broadcast_spatial_join(left: DataFrame, right: DataFrame, *,
                            left_geom: str = "geom", right_geom: str = "geom",
                            right_id: str = "right_id",
                            distance: float | None = None,
-                           leafsize: int = 10) -> DataFrame:
+                           leafsize: int = 10,
+                           max_right_rows: int | None = None) -> DataFrame:
     """Inner spatial join, right side broadcast as an STRtree.
 
     Output = all left columns + ``right_id``.  Join the result back to
@@ -301,7 +322,9 @@ def broadcast_spatial_join(left: DataFrame, right: DataFrame, *,
     attach more right columns."""
     if predicate is not None and predicate != "dwithin" and predicate not in PREDICATES:
         raise ValueError(f"unknown predicate {predicate!r}; one of {sorted(k for k in PREDICATES if k)}")
-    rows = right.select(right_id, right_geom).collect()
+    rows = _collect_right(right, [right_id, right_geom],
+                          max_right_rows or BROADCAST_RIGHT_LIMIT,
+                          "broadcast_spatial_join")
     ids = np.asarray([r[0] for r in rows], dtype=np.int64)
     geoms = [SG._loads_safe(r[1]) for r in rows]
     tree = STRtree(geoms, leafsize=leafsize)
@@ -329,7 +352,8 @@ def broadcast_lonlat_join(left: DataFrame, right: DataFrame, *,
                           right_id: str = "right_id",
                           distance: float | None = None,
                           cell_res: int | None = None,
-                          keep: list[str] | None = None) -> DataFrame:
+                          keep: list[str] | None = None,
+                          max_right_rows: int | None = None) -> DataFrame:
     """Point-probe join straight from lon/lat DOUBLE columns — the
     minimal-data-movement plan for the pages pipeline: only the
     numeric columns named in ``keep`` (+ lon/lat) cross the Python
@@ -338,7 +362,9 @@ def broadcast_lonlat_join(left: DataFrame, right: DataFrame, *,
 
     Output: keep columns + [cell] + right_id.  At 10^12 rows this is
     the plan that matters: one Arrow roundtrip of ~16 bytes/row."""
-    rows = right.select(right_id, right_geom).collect()
+    rows = _collect_right(right, [right_id, right_geom],
+                          max_right_rows or BROADCAST_RIGHT_LIMIT,
+                          "broadcast_lonlat_join")
     ids = np.asarray([r[0] for r in rows], dtype=np.int64)
     geoms = [SG._loads_safe(r[1]) for r in rows]
     tree = STRtree(geoms)

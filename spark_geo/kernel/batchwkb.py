@@ -571,7 +571,11 @@ def _pair_fast(awkbs, bwkbs):
 
 
 def _empty_rows(R: Runs) -> np.ndarray:
-    """ok rows decoding to no finite coordinates (POINT EMPTY etc.)."""
+    """ok rows decoding to no finite coordinates (POINT EMPTY etc.).
+    NOTE: tests NaN on x only — for the PAIR KERNELS this deliberately
+    treats NaN-poisoned vertices as absent (their cross terms would
+    propagate NaN); the user-facing is_empty answer applies loads'
+    both-NaN empty-point rule instead (``batch_is_empty``)."""
     has = np.zeros(R.n, dtype=bool)
     if len(R.coords):
         fin = ~np.isnan(R.coords[:, 0])
@@ -689,9 +693,16 @@ def batch_header(wkbs):
     container (MULTI*/GEOMETRYCOLLECTION — whose recursive attributes
     like has_z need the scalar path), and the parse-ok mask.  Both byte
     orders and the EWKB SRID flag are accepted; only the first 5 bytes
-    of each row are touched — no coordinate decode, no object creation.
+    of each row are READ, but each row's length is additionally checked
+    against the minimal body its declared type implies (r6, ADVICE r5:
+    a valid 5-byte header with a truncated body — e.g. a bare
+    b'\\x01\\x01\\x00\\x00\\x00' POINT — must fall to the scalar path so
+    st_type_id/st_geom_type keep the documented on_invalid='ignore'
+    None semantics instead of answering from the header).
     """
     n = len(wkbs)
+    lens = np.fromiter((0 if v is None else len(v) for v in wkbs),
+                       dtype=np.int64, count=n)
     buf = b"".join(
         (b"\xff\0\0\0\0" if v is None or len(v) < 5 else bytes(v[:5]))
         for v in wkbs)
@@ -701,7 +712,8 @@ def batch_header(wkbs):
     t_be = h[:, 4] | (h[:, 3] << 8) | (h[:, 2] << 16) | (h[:, 1] << 24)
     t = np.where(endian == 1, t_le, t_be)
     ok = (endian == 0) | (endian == 1)
-    t = t & ~0x20000000                      # EWKB SRID flag (ignored here)
+    srid = (t & 0x20000000) != 0             # EWKB SRID flag (+4 bytes)
+    t = t & ~0x20000000
     z = (t & 0x80000000) != 0                # EWKB Z flag
     t = np.where(z, t & 0x0FFFFFFF, t)
     zm = (t >= 3000) & (t < 4000)            # ISO ZM
@@ -710,6 +722,12 @@ def batch_header(wkbs):
     t = t - zm * 3000 - mo * 2000 - zo * 1000
     z = z | zm | zo
     ok &= (t >= 1) & (t <= 7)
+    # minimal-body check: POINT carries 2-4 doubles, every other type a
+    # 4-byte child/ring/point count; truncated rows go to the scalar
+    # fallback (which maps them to None)
+    dims = 2 + np.where(zm, 2, (z | mo).astype(np.int64))
+    need = 5 + srid * 4 + np.where(t == 1, 8 * dims, 4)
+    ok &= lens >= need
     t = np.where(ok, t, 0)
     lattice = _OGC_TO_LATTICE_LUT[t]
     return lattice, z & ok, ok & (lattice >= 4), ok
@@ -720,6 +738,15 @@ def batch_is_empty(wkbs) -> tuple[np.ndarray, np.ndarray]:
     iff it owns no finite coordinates (POINT EMPTY stores NaN; empty
     containers/rings emit no runs — Geom.is_empty semantics, reference
     predicates.py:135-159).  Returns (empty, ok); ~ok rows (big-endian,
-    Z, GC…) need the scalar path."""
+    Z, GC…) need the scalar path.
+
+    r6 (ADVICE r5): mirrors loads' BOTH-coords-NaN empty-point rule —
+    a vertex with x=NaN but y finite is a present (poisoned) vertex,
+    so the row is NOT empty, exactly like Geom.is_empty on the decoded
+    object."""
     R = decode_runs(wkbs)
-    return _empty_rows(R), R.ok
+    has = np.zeros(R.n, dtype=bool)
+    if len(R.coords):
+        fin = ~(np.isnan(R.coords[:, 0]) & np.isnan(R.coords[:, 1]))
+        np.logical_or.at(has, R.vowner(), fin)
+    return R.ok & ~has, R.ok

@@ -51,9 +51,13 @@ def broadcast_nearest_all(left: DataFrame, right: DataFrame, *,
                           left_geom: str = "geom", right_geom: str = "geom",
                           right_id: str = "right_id",
                           max_distance: float | None = None,
+                          max_right_rows: int | None = None,
                           _single: bool = False) -> DataFrame:
     """All-ties nearest join; output = left columns + right_id + distance."""
-    rows = right.select(right_id, right_geom).collect()
+    from .join import BROADCAST_RIGHT_LIMIT, _collect_right
+    rows = _collect_right(right, [right_id, right_geom],
+                          max_right_rows or BROADCAST_RIGHT_LIMIT,
+                          "broadcast_nearest_all")
     ids = np.asarray([r[0] for r in rows], dtype=np.int64)
     geoms = [SG._loads_safe(r[1]) for r in rows]
     tree = STRtree(geoms)
@@ -271,6 +275,7 @@ def nearest_all_lonlat(left: DataFrame, right: DataFrame, *,
                        right_id: str = "right_id",
                        max_distance: float | None = None,
                        keep: list[str] | None = None,
+                       max_right_rows: int | None = None,
                        _single: bool = False) -> DataFrame:
     """All-ties nearest straight from lon/lat DOUBLE columns — the
     broadcast_lonlat_join analogue for kNN (r6, guide §2.3/§4.1): only
@@ -282,7 +287,10 @@ def nearest_all_lonlat(left: DataFrame, right: DataFrame, *,
     Output: keep columns + right_id + distance.  Falls back to probing
     the STRtree with point geometries when the right side is not
     all-points."""
-    rows = right.select(right_id, right_geom).collect()
+    from .join import BROADCAST_RIGHT_LIMIT, _collect_right
+    rows = _collect_right(right, [right_id, right_geom],
+                          max_right_rows or BROADCAST_RIGHT_LIMIT,
+                          "nearest_all_lonlat")
     ids = np.asarray([r[0] for r in rows], dtype=np.int64)
     geoms = [SG._loads_safe(r[1]) for r in rows]
     tree = STRtree(geoms)

@@ -217,3 +217,60 @@ def test_batch_is_empty_matches_scalar():
             continue
         g = W.loads(bytes(b))
         assert bool(empty[i]) == g.is_empty, i
+
+
+def test_batch_header_truncated_body_not_ok():
+    """ADVICE r5: a valid 5-byte header with a truncated/absent body
+    must NOT be marked ok — the scalar fallback maps such rows to None
+    (on_invalid='ignore' semantics), so header-only accessors must not
+    answer from the header."""
+    cases = [
+        b"\x01\x01\x00\x00\x00",               # POINT, no coordinates
+        b"\x01\x01\x00\x00\x00" + b"\x00" * 8,  # POINT, one double only
+        b"\x01\x02\x00\x00\x00",               # LINESTRING, no count
+        b"\x01\x03\x00\x00\x00\xff",           # POLYGON, partial count
+        b"\x01\xe9\x03\x00\x00" + b"\x00" * 16,  # ISO Z POINT, 2 doubles
+        b"\x01\x01\x00\x00\x20\x10\x0e\x00\x00",  # EWKB SRID, no coords
+    ]
+    lat, z, cont, ok = BW.batch_header(cases)
+    assert not ok.any()
+    # and the minimal VALID encodings stay ok
+    good = [W.dumps(from_wkt("POINT(1 2)")),
+            W.dumps(from_wkt("LINESTRING EMPTY"))]
+    _, _, _, ok2 = BW.batch_header(good)
+    assert ok2.all()
+
+
+def test_batch_is_empty_nan_x_finite_y():
+    """ADVICE r5: loads' empty-point rule is BOTH coords NaN; a point
+    with x=NaN,y=finite is non-empty (poisoned coordinate)."""
+    from spark_geo.kernel.geom import Geom
+    nanpt = W.dumps(Geom(0, coords=np.array([[float("nan"), 1.0]])))
+    both = W.dumps(from_wkt("POINT EMPTY"))
+    norm = W.dumps(from_wkt("POINT(1 2)"))
+    empty, ok = BW.batch_is_empty([nanpt, both, norm])
+    for i, b in enumerate([nanpt, both, norm]):
+        if ok[i]:
+            assert bool(empty[i]) == W.loads(b).is_empty, i
+
+
+def test_batch_pair_kernels_nan_x_finite_y():
+    """The is_empty rule change must not alter the pair-kernel
+    PREDICATE answers for NaN-poisoned coordinates (both paths:
+    False).  Known, pre-existing divergence left as-is: pair_distance
+    reports no-distance as NaN for such rows while the scalar kernel
+    reports inf — neither is a finite answer and the poisoned-input
+    case is outside the reference's domain."""
+    from spark_geo.kernel.geom import Geom
+    nanpt = W.dumps(Geom(0, coords=np.array([[float("nan"), 1.0]])))
+    others = [W.dumps(from_wkt("POINT(1 2)")),
+              W.dumps(from_wkt("LINESTRING(0 0, 2 2)")),
+              W.dumps(from_wkt("POLYGON((0 0,3 0,3 3,0 3,0 0))")),
+              nanpt]
+    a = [nanpt] * len(others)
+    got_i = BW.pair_intersects(a, others)
+    got_d = BW.pair_distance(a, others)
+    for i, b in enumerate(others):
+        ga, gb = W.loads(nanpt), W.loads(bytes(b))
+        assert bool(got_i[i]) == P.intersects(ga, gb), i
+        assert not np.isfinite(got_d[i]), i  # never a finite distance

@@ -360,3 +360,43 @@ def test_cell_join_relate_pattern_rejects_nonintersecting(spark):
     with pytest.raises(ValueError, match="only valid"):
         SJ.cell_spatial_join(df, df, predicate="intersects",
                              pattern="T********", right_id="left_id")
+
+
+def test_broadcast_right_side_guard(spark):
+    """VERDICT r5 item 4: the direct broadcast APIs must refuse an
+    oversized right side with an actionable error, not driver-OOM."""
+    import pytest
+    from spark_geo import join as SJ, knn as SK
+    from spark_geo import functions as SG
+    from pyspark.sql import functions as F
+    big = (spark.range(0, 500)
+           .select(F.col("id").alias("right_id"),
+                   SG.st_point(F.rand(seed=1) * 10,
+                               F.rand(seed=2) * 10).alias("geom")))
+    left = spark.range(0, 4).select(
+        F.col("id").alias("left_id"),
+        SG.st_point(F.lit(1.0), F.lit(2.0)).alias("point"))
+    with pytest.raises(ValueError, match="right side exceeds"):
+        SJ.broadcast_spatial_join(left, big, predicate="intersects",
+                                  left_geom="point", right_id="right_id",
+                                  max_right_rows=100)
+    with pytest.raises(ValueError, match="right side exceeds"):
+        SJ.broadcast_lonlat_join(
+            left.select("left_id", F.lit(1.0).alias("lon"),
+                        F.lit(2.0).alias("lat")),
+            big, predicate="intersects", right_id="right_id",
+            keep=["left_id"], max_right_rows=100)
+    with pytest.raises(ValueError, match="right side exceeds"):
+        SK.broadcast_nearest_all(left, big, left_geom="point",
+                                 right_id="right_id", max_right_rows=100)
+    with pytest.raises(ValueError, match="right side exceeds"):
+        SK.nearest_all_lonlat(
+            left.select("left_id", F.lit(1.0).alias("lon"),
+                        F.lit(2.0).alias("lat")),
+            big, right_id="right_id", keep=["left_id"],
+            max_right_rows=100)
+    # within the cap: works
+    n = SJ.broadcast_spatial_join(left, big, predicate="intersects",
+                                  left_geom="point",
+                                  right_id="right_id").count()
+    assert n >= 0
