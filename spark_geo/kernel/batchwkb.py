@@ -61,12 +61,19 @@ class Runs:
     1 linestring, 2 polygon exterior ring, 3 polygon hole ring."""
 
     __slots__ = ("n", "null", "ok", "coords", "cstart", "rlen",
-                 "rowner", "rrole", "_vowner", "_segc")
+                 "rowner", "rrole", "_vowner", "_segc",
+                 "u8", "offs", "lens", "rtype", "vbyte")
 
-    def __init__(self, n, null, ok, coords, cstart, rlen, rowner, rrole):
+    def __init__(self, n, null, ok, coords, cstart, rlen, rowner, rrole,
+                 u8=None, offs=None, lens=None, rtype=None, vbyte=None):
         self.n, self.null, self.ok = n, null, ok
         self.coords, self.cstart, self.rlen = coords, cstart, rlen
         self.rowner, self.rrole = rowner, rrole
+        # raw-buffer views for the batch constructive kernels (r6):
+        # concatenated source bytes, per-row offsets/lengths, per-row
+        # top-level WKB type, per-vertex byte offset into u8
+        self.u8, self.offs, self.lens = u8, offs, lens
+        self.rtype, self.vbyte = rtype, vbyte
         self._vowner = None
         self._segc = None
 
@@ -300,9 +307,11 @@ def decode_runs(wkbs) -> Runs:
         bidx = (base[:, None] + np.arange(16, dtype=np.int64)).ravel()
         coords = u8[bidx].view("<f8").reshape(tot, 2)
     else:
+        base = np.empty(0, dtype=np.int64)
         coords = np.empty((0, 2))
     cstart = np.cumsum(run_len) - run_len
-    return Runs(n, null, ok, coords, cstart, run_len, run_owner, run_role)
+    return Runs(n, null, ok, coords, cstart, run_len, run_owner, run_role,
+                u8=u8, offs=offs, lens=lens, rtype=t, vbyte=base)
 
 
 # ---------------------------------------------------------------------------
@@ -750,3 +759,333 @@ def batch_is_empty(wkbs) -> tuple[np.ndarray, np.ndarray]:
         fin = ~(np.isnan(R.coords[:, 0]) & np.isnan(R.coords[:, 1]))
         np.logical_or.at(has, R.vowner(), fin)
     return R.ok & ~has, R.ok
+
+
+# ---------------------------------------------------------------------------
+# batch unary constructive kernels (r6 — VERDICT r5 item 1)
+#
+# The cheap unary constructive ops (envelope / centroid / boundary /
+# reverse / force_2d) were per-row Python: loads -> scalar kernel ->
+# dumps for every row, with dispatch overhead dominating the per-
+# geometry arithmetic.  These kernels compute whole columns over the
+# decode_runs owner stacks and assemble output WKB from the raw byte
+# buffer, falling back to the scalar kernels only for rows the fast
+# path cannot prove canonical:
+#   - ~ok rows (big-endian / Z / SRID / GC / malformed),
+#   - rows with any NaN coordinate (loads canonicalizes empty points),
+#   - rows whose byte length differs from the canonical re-encoding of
+#     their structure (empty rings that dumps would drop, trailing
+#     junk, empty container children) — byte-level ops must reproduce
+#     dumps() exactly.
+# Semantics are property-tested bit-identical to the scalar kernels in
+# tests/test_batchwkb.py (same discipline as the r5 measure kernels).
+# ---------------------------------------------------------------------------
+
+_GC_EMPTY = b"\x01\x07\x00\x00\x00\x00\x00\x00\x00"
+_MLS_EMPTY = b"\x01\x05\x00\x00\x00\x00\x00\x00\x00"
+_PT_HDR = b"\x01\x01\x00\x00\x00"
+_LS_HDR = b"\x01\x02\x00\x00\x00"
+
+
+def _nan_rows(R: Runs) -> np.ndarray:
+    bad = np.zeros(R.n, dtype=bool)
+    if len(R.coords):
+        isn = np.isnan(R.coords[:, 0]) | np.isnan(R.coords[:, 1])
+        np.logical_or.at(bad, R.vowner(), isn)
+    return bad
+
+
+def _row_struct(R: Runs):
+    """(nruns, nverts, n_exterior, n_rings) per row."""
+    nruns = np.bincount(R.rowner, minlength=R.n).astype(np.int64)
+    nverts = np.bincount(R.rowner, weights=R.rlen,
+                         minlength=R.n).astype(np.int64)
+    ext = R.rrole == 2
+    ring = R.rrole >= 2
+    n_ext = np.bincount(R.rowner[ext], minlength=R.n).astype(np.int64)
+    n_ring = np.bincount(R.rowner[ring], minlength=R.n).astype(np.int64)
+    return nruns, nverts, n_ext, n_ring
+
+
+def _canonical_rows(R: Runs) -> np.ndarray:
+    """ok rows whose bytes are exactly the canonical re-encoding of
+    their decoded structure (so byte-copy == dumps(loads(bytes)))."""
+    nruns, nverts, n_ext, n_ring = _row_struct(R)
+    t = R.rtype
+    exp = np.select(
+        [t == 1, t == 2, t == 3, t == 4, t == 5, t == 6],
+        [np.full(R.n, 21, np.int64),
+         9 + 16 * nverts,
+         9 + 4 * n_ring + 16 * nverts,
+         9 + 21 * nruns,
+         9 + 9 * nruns + 16 * nverts,
+         9 + 9 * n_ext + 4 * n_ring + 16 * nverts],
+        default=-1)
+    return R.ok & ~R.null & (exp == R.lens)
+
+
+def _scalar_rows(wkbs, rows, fn, out):
+    from . import construct as _C  # noqa: F401  (callers pass kernels)
+    for i in rows:
+        g = _loads_or_none(wkbs[i])
+        r = fn(g)
+        out[i] = None if r is None else W.dumps(r)
+
+
+def _points_wkb_into(out, rows, xs, ys):
+    """Write 21-byte POINT WKBs for ``rows`` into object array out."""
+    m = len(rows)
+    if not m:
+        return
+    buf = np.empty((m, 21), dtype=np.uint8)
+    buf[:, :5] = np.frombuffer(_PT_HDR, dtype=np.uint8)
+    buf[:, 5:13] = np.ascontiguousarray(xs, dtype="<f8") \
+        .view(np.uint8).reshape(m, 8)
+    buf[:, 13:21] = np.ascontiguousarray(ys, dtype="<f8") \
+        .view(np.uint8).reshape(m, 8)
+    for k, i in enumerate(rows):
+        out[i] = buf[k].tobytes()
+
+
+def _grouped_sums(vals: np.ndarray, starts: np.ndarray,
+                  counts: np.ndarray) -> np.ndarray:
+    """Per-group sums over ``vals[starts[g] : starts[g]+counts[g]]``
+    that are BIT-IDENTICAL to ``vals[slice].sum()`` per group: groups
+    are bucketed by exact length and reduced row-wise over a 2D gather,
+    which runs NumPy's pairwise summation with the same element count
+    and order as the scalar kernels' np.sum.  Loop count = number of
+    DISTINCT lengths in the batch, never the row count."""
+    out = np.zeros(len(starts))
+    if not len(starts):
+        return out
+    for L in np.unique(counts):
+        if L <= 0:
+            continue
+        sel = np.nonzero(counts == L)[0]
+        idx = starts[sel][:, None] + np.arange(int(L), dtype=np.int64)
+        out[sel] = vals[idx].sum(axis=1)
+    return out
+
+
+def batch_centroid(wkbs) -> list:
+    """Column centroid -> list of POINT WKBs (reference
+    constructive.py:248-276 semantics, kernel construct.centroid).
+    Summation order matches the scalar kernel exactly via
+    _grouped_sums, so results are bit-identical."""
+    R = decode_runs(wkbs)
+    out = np.empty(R.n, dtype=object)
+    nruns = np.bincount(R.rowner, minlength=R.n)
+    safe = R.ok & ~R.null & ~_nan_rows(R) & (nruns > 0)
+    c = R.coords
+    nr = len(R.rlen)
+    has_ring = np.zeros(R.n, dtype=bool)
+    has_line = np.zeros(R.n, dtype=bool)
+    if nr:
+        np.logical_or.at(has_ring, R.rowner, R.rrole >= 2)
+        np.logical_or.at(has_line, R.rowner, R.rrole == 1)
+    cx = np.zeros(R.n)
+    cy = np.zeros(R.n)
+    a_sum = np.zeros(R.n)
+    ltot = np.zeros(R.n)
+    mx = np.zeros(R.n)
+    my = np.zeros(R.n)
+    if len(c) >= 2:
+        x, y = c[:, 0], c[:, 1]
+        cross = x[:-1] * y[1:] - x[1:] * y[:-1]
+        tx = (x[:-1] + x[1:]) * cross
+        ty = (y[:-1] + y[1:]) * cross
+        # -- area path: per-ring sums over the ring's own cross terms
+        # (exactly the scalar's ring-local arrays: count = rlen-1)
+        term_cnt = R.rlen - 1
+        csum = _grouped_sums(cross, R.cstart, term_cnt)
+        txs = _grouped_sums(tx, R.cstart, term_cnt)
+        tys = _grouped_sums(ty, R.cstart, term_cnt)
+        rvalid = (R.rrole >= 2) & (R.rlen >= 4) & (csum != 0.0)
+        if rvalid.any():
+            den = np.where(csum == 0.0, 1.0, 3.0 * csum)
+            a_r = np.where(R.rrole == 2, np.abs(csum / 2.0),
+                           -np.abs(csum / 2.0))
+            rcx = txs / den
+            rcy = tys / den
+            sel = rvalid
+            # bincount accumulates sequentially in ring order — the
+            # same += loop order as the scalar kernel
+            cx = np.bincount(R.rowner[sel], weights=(rcx * a_r)[sel],
+                             minlength=R.n)
+            cy = np.bincount(R.rowner[sel], weights=(rcy * a_r)[sel],
+                             minlength=R.n)
+            a_sum = np.bincount(R.rowner[sel], weights=a_r[sel],
+                                minlength=R.n)
+        # -- length path: the scalar sums over the geometry's WHOLE
+        # segment stack (M.segments), so gather the per-row segment
+        # values contiguously and sum per row
+        segs, sowner, _ = R.segs()
+        if len(segs):
+            lx = np.hypot(segs[:, 2] - segs[:, 0],
+                          segs[:, 3] - segs[:, 1])
+            midx = (segs[:, 0] + segs[:, 2]) / 2 * lx
+            midy = (segs[:, 1] + segs[:, 3]) / 2 * lx
+            scnt, sstart = _stack_counts(sowner, R.n)
+            ltot = _grouped_sums(lx, sstart, scnt)
+            mx = _grouped_sums(midx, sstart, scnt)
+            my = _grouped_sums(midy, sstart, scnt)
+    vcnt, vstart = _stack_counts(R.vowner(), R.n)
+    area_rows = safe & has_ring & (a_sum != 0.0)
+    line_rows = safe & ~area_rows & (has_line | has_ring) & (ltot > 0.0)
+    # vertex mean (dim-0 rows and fully degenerate lineal rows): the
+    # scalar path means over a STRIDED column view (sequential numpy
+    # reduction); the gathered batch rows are contiguous (pairwise).
+    # The two orders agree only below numpy's pairwise base case (8),
+    # so larger vertex sets take the scalar path for bit-identity.
+    mean_rows = safe & ~area_rows & ~line_rows & (vcnt < 8)
+    safe = area_rows | line_rows | mean_rows
+    vxs = _grouped_sums(c[:, 0], vstart, vcnt) if len(c) \
+        else np.zeros(R.n)
+    vys = _grouped_sums(c[:, 1], vstart, vcnt) if len(c) \
+        else np.zeros(R.n)
+    vc = np.maximum(vcnt, 1).astype(np.float64)
+    ar = np.nonzero(area_rows)[0]
+    _points_wkb_into(out, ar, cx[ar] / a_sum[ar], cy[ar] / a_sum[ar])
+    lr = np.nonzero(line_rows)[0]
+    _points_wkb_into(out, lr, mx[lr] / ltot[lr], my[lr] / ltot[lr])
+    mr = np.nonzero(mean_rows)[0]
+    _points_wkb_into(out, mr, vxs[mr] / vc[mr], vys[mr] / vc[mr])
+    from .construct import centroid as _centroid
+    _scalar_rows(wkbs, np.nonzero(~safe & ~R.null)[0], _centroid, out)
+    out[R.null] = None
+    return list(out)
+
+
+def batch_envelope(wkbs) -> list:
+    """Column envelope (reference constructive.py:385-408 semantics)."""
+    R = decode_runs(wkbs)
+    out = np.empty(R.n, dtype=object)
+    nruns = np.bincount(R.rowner, minlength=R.n)
+    safe = R.ok & ~R.null & ~_nan_rows(R) & (nruns > 0)
+    b = _runs_bounds(R)
+    xmin, ymin, xmax, ymax = b[:, 0], b[:, 1], b[:, 2], b[:, 3]
+    pt = safe & (xmin == xmax) & (ymin == ymax)
+    ln = safe & ~pt & ((xmin == xmax) | (ymin == ymax))
+    bx = safe & ~pt & ~ln
+    rows = np.nonzero(pt)[0]
+    _points_wkb_into(out, rows, xmin[rows], ymin[rows])
+    rows = np.nonzero(ln)[0]
+    if len(rows):
+        m = len(rows)
+        buf = np.empty((m, 41), dtype=np.uint8)
+        buf[:, :5] = np.frombuffer(_LS_HDR, dtype=np.uint8)
+        buf[:, 5:9] = np.frombuffer(b"\x02\x00\x00\x00", dtype=np.uint8)
+        cc = np.stack([xmin[rows], ymin[rows], xmax[rows], ymax[rows]], 1)
+        buf[:, 9:41] = np.ascontiguousarray(cc, dtype="<f8") \
+            .view(np.uint8).reshape(m, 32)
+        for k, i in enumerate(rows):
+            out[i] = buf[k].tobytes()
+    rows = np.nonzero(bx)[0]
+    if len(rows):
+        m = len(rows)
+        buf = np.empty((m, 93), dtype=np.uint8)
+        buf[:, :5] = np.frombuffer(b"\x01\x03\x00\x00\x00", dtype=np.uint8)
+        buf[:, 5:9] = np.frombuffer(b"\x01\x00\x00\x00", dtype=np.uint8)
+        buf[:, 9:13] = np.frombuffer(b"\x05\x00\x00\x00", dtype=np.uint8)
+        # ccw=False shell: (xmin,ymin)(xmin,ymax)(xmax,ymax)(xmax,ymin)(xmin,ymin)
+        cc = np.stack([xmin[rows], ymin[rows], xmin[rows], ymax[rows],
+                       xmax[rows], ymax[rows], xmax[rows], ymin[rows],
+                       xmin[rows], ymin[rows]], 1)
+        buf[:, 13:93] = np.ascontiguousarray(cc, dtype="<f8") \
+            .view(np.uint8).reshape(m, 80)
+        for k, i in enumerate(rows):
+            out[i] = buf[k].tobytes()
+    from .construct import envelope as _envelope
+    _scalar_rows(wkbs, np.nonzero(~safe & ~R.null)[0], _envelope, out)
+    out[R.null] = None
+    return list(out)
+
+
+def batch_reverse(wkbs) -> list:
+    """Column reverse: per-run coordinate-block permutation on the raw
+    bytes (reference constructive.py:643-675 semantics)."""
+    R = decode_runs(wkbs)
+    out = np.empty(R.n, dtype=object)
+    safe = _canonical_rows(R) & ~_nan_rows(R)
+    if safe.any():
+        u8 = np.array(R.u8, copy=True)
+        tot = len(R.coords)
+        if tot:
+            srun = np.repeat(np.arange(len(R.rlen), dtype=np.int64),
+                             R.rlen)
+            intra = np.arange(tot, dtype=np.int64) - R.cstart[srun]
+            rev = R.cstart[srun] + (R.rlen[srun] - 1) - intra
+            vsafe = safe[R.vowner()]
+            src = rev[vsafe]
+            dst = R.vbyte[vsafe]
+            if len(src):
+                bidx = (dst[:, None]
+                        + np.arange(16, dtype=np.int64)).ravel()
+                u8[bidx] = np.ascontiguousarray(R.coords[src],
+                                                dtype="<f8") \
+                    .view(np.uint8).ravel()
+        for i in np.nonzero(safe)[0]:
+            out[i] = u8[R.offs[i]:R.offs[i] + R.lens[i]].tobytes()
+    from .construct import reverse as _reverse
+    _scalar_rows(wkbs, np.nonzero(~safe & ~R.null)[0], _reverse, out)
+    out[R.null] = None
+    return list(out)
+
+
+def batch_force_2d(wkbs) -> list:
+    """Column force_2d: canonical 2D rows are byte-identical to their
+    scalar rebuild, so they pass through unchanged; everything else
+    (Z rows, containers, non-canonical bytes) takes the scalar path."""
+    R = decode_runs(wkbs)
+    out = np.empty(R.n, dtype=object)
+    safe = _canonical_rows(R) & ~_nan_rows(R)
+    for i in np.nonzero(safe)[0]:
+        v = wkbs[i]
+        out[i] = v if isinstance(v, bytes) else bytes(v)
+    from .construct import force_2d as _force_2d
+    _scalar_rows(wkbs, np.nonzero(~safe & ~R.null)[0], _force_2d, out)
+    out[R.null] = None
+    return list(out)
+
+
+def batch_boundary(wkbs) -> list:
+    """Column boundary for point/polygonal rows (reference
+    constructive.py:50-80); lineal rows (endpoint parity) fall back."""
+    R = decode_runs(wkbs)
+    out = np.empty(R.n, dtype=object)
+    canon = _canonical_rows(R) & ~_nan_rows(R)
+    t = R.rtype
+    # POINT / MULTIPOINT -> empty GEOMETRYCOLLECTION
+    for i in np.nonzero(canon & ((t == 1) | (t == 4)))[0]:
+        out[i] = _GC_EMPTY
+    # POLYGON / MULTIPOLYGON -> rings as linestrings
+    poly = canon & ((t == 3) | (t == 6))
+    if poly.any():
+        import struct as _struct
+        ring_sel = np.nonzero(poly[R.rowner] & (R.rrole >= 2))[0]
+        rows_rings: dict = {}
+        for r in ring_sel:
+            rows_rings.setdefault(int(R.rowner[r]), []).append(r)
+        u8 = R.u8
+        for i in np.nonzero(poly)[0]:
+            rings = rows_rings.get(int(i), [])
+            pieces = []
+            for r in rings:
+                v0 = R.cstart[r]
+                start = R.vbyte[v0] if R.rlen[r] else 0
+                pieces.append(_LS_HDR
+                              + _struct.pack("<I", int(R.rlen[r]))
+                              + u8[start:start + 16 * R.rlen[r]].tobytes())
+            if t[i] == 3 and len(rings) == 1:
+                out[i] = pieces[0]
+            elif not rings:
+                out[i] = _MLS_EMPTY if t[i] == 3 else _GC_EMPTY
+            else:
+                out[i] = (b"\x01\x05\x00\x00\x00"
+                          + _struct.pack("<I", len(pieces))
+                          + b"".join(pieces))
+    from .construct import boundary as _boundary
+    done = canon & (t != 2) & (t != 5)
+    _scalar_rows(wkbs, np.nonzero(~done & ~R.null)[0], _boundary, out)
+    out[R.null] = None
+    return list(out)

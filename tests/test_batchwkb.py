@@ -274,3 +274,85 @@ def test_batch_pair_kernels_nan_x_finite_y():
         ga, gb = W.loads(nanpt), W.loads(bytes(b))
         assert bool(got_i[i]) == P.intersects(ga, gb), i
         assert not np.isfinite(got_d[i]), i  # never a finite distance
+
+
+# -- r6 batch unary constructive kernels ---------------------------------
+
+def _scalar_wkb(fn, b):
+    if b is None:
+        return None
+    try:
+        g = W.loads(bytes(b))
+    except Exception:
+        g = None
+    r = fn(g)
+    return None if r is None else W.dumps(r)
+
+
+_CONSTRUCTIVE_CASES = None
+
+
+def _constructive_col():
+    global _CONSTRUCTIVE_CASES
+    if _CONSTRUCTIVE_CASES is not None:
+        return _CONSTRUCTIVE_CASES
+    rng = random.Random(123)
+    col = _col(rng, 500)
+    from spark_geo.kernel.geom import Geom
+    pz = Geom(0, coords=np.array([[1.0, 2.0]]), has_z=True,
+              zs=np.array([5.0]))
+    col += [
+        None,
+        b"\x01\x01\x00\x00\x00",                     # truncated point
+        W.dumps_ext(pz, output_dimension=3),          # ISO Z point
+        W.dumps_ext(from_wkt("POINT(3 4)"), byte_order=0),  # big-endian
+        W.dumps(from_wkt("POINT EMPTY")),
+        W.dumps(from_wkt("LINESTRING EMPTY")),
+        W.dumps(from_wkt("MULTIPOLYGON EMPTY")),
+        W.dumps(from_wkt("GEOMETRYCOLLECTION(POINT(1 1),"
+                         "LINESTRING(0 0,1 1))")),
+        W.dumps(from_wkt("POLYGON((0 0,4 0,4 4,0 4,0 0),"
+                         "(1 1,1 2,2 2,2 1,1 1))")),
+        W.dumps(from_wkt("LINESTRING(0 0,1 0,1 1,0 0)")),  # closed line
+        W.dumps(from_wkt("MULTIPOINT(1 1,2 2)")),
+        # degenerate polygon (zero area) -> centroid length path
+        W.dumps(from_wkt("POLYGON((0 0,2 0,0 0))")),
+        # vertical/horizontal lines -> degenerate envelopes
+        W.dumps(from_wkt("LINESTRING(1 0,1 5)")),
+        W.dumps(from_wkt("LINESTRING(0 3,7 3)")),
+        W.dumps(from_wkt("MULTIPOINT(3 3,3 3)")),     # point envelope
+    ]
+    # larger structures: exercise the grouped-sums pairwise parity
+    # beyond numpy's 8-element base case, and the vcnt>=8 mean-path
+    # scalar fallback
+    big_ring = ",".join(
+        f"{10 * math.cos(2 * math.pi * i / 40)} "
+        f"{10 * math.sin(2 * math.pi * i / 40)}" for i in range(40))
+    big_line = ",".join(f"{i} {((i * 7) % 11) - 5}" for i in range(30))
+    many_pts = ",".join(f"({i} {i % 5})" for i in range(12))
+    first = big_ring.split(",")[0]
+    col += [
+        W.dumps(from_wkt(f"POLYGON(({big_ring},{first}))")),
+        W.dumps(from_wkt(f"LINESTRING({big_line})")),
+        W.dumps(from_wkt(f"MULTIPOINT({many_pts})")),
+    ]
+    _CONSTRUCTIVE_CASES = col
+    return col
+
+
+@pytest.mark.parametrize("batch_fn,scalar_fn", [
+    (BW.batch_centroid, "centroid"),
+    (BW.batch_envelope, "envelope"),
+    (BW.batch_boundary, "boundary"),
+    (BW.batch_reverse, "reverse"),
+    (BW.batch_force_2d, "force_2d"),
+])
+def test_batch_constructive_matches_scalar(batch_fn, scalar_fn):
+    from spark_geo.kernel import construct as C
+    fn = getattr(C, scalar_fn)
+    col = _constructive_col()
+    got = batch_fn(col)
+    assert len(got) == len(col)
+    for i, b in enumerate(col):
+        want = _scalar_wkb(fn, b)
+        assert got[i] == want, (scalar_fn, i, got[i], want)
