@@ -202,8 +202,17 @@ def flagship(pages: DataFrame, layer: DataFrame, res: int = 7) -> DataFrame:
     Exactly ONE Python crossing (probe + cell assignment fused in a
     single mapInPandas over two double columns — ~16 bytes/row through
     Arrow; geocode regexes and the final aggregate stay JVM-side), one
-    shuffle (the final groupBy)."""
-    pts = geocode(pages).where(F.col("lon").isNotNull())
+    shuffle (the final groupBy).
+
+    r6 (guide §4.4-shaped fix, measured 1.8x at 6M pages): NO explicit
+    isNotNull filter on the geocoded columns — Catalyst pushes such a
+    filter below the projection by inlining the whole
+    format/regexp-extract chain into the predicate, re-evaluating the
+    expensive expressions up to 3 extra times per row.  The lon/lat
+    probe already drops NULL/NaN rows inside the worker
+    (join._probe_batch_points), so results are identical; untagged
+    rows cost 16 B of Arrow traffic instead of repeated regex work."""
+    pts = geocode(pages)
     joined = SJ.broadcast_lonlat_join(
         pts, layer, lon="lon", lat="lat", predicate="intersects",
         right_geom="geom", right_id="polygon_id", cell_res=res)
