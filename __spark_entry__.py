@@ -49,7 +49,8 @@ BOX_Y0 = "((CAST(FLOOR(n_nationkey/5.0) AS BIGINT) % 5)*36.0 - 90.0)"
 _BYTES_CACHE: dict[tuple[str, str], int] = {}
 
 
-def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _load(spark: SparkSession, sf_dir: str, name: str,
+          keys: list[str] | None = None) -> DataFrame:
     """Read one star-schema table.  The sf0.x parquet files are single
     row-group files that Spark cannot split, so a local[32] run would
     otherwise execute every probe in ONE task — an artifact a real
@@ -87,7 +88,15 @@ def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 md.row_group(i).total_byte_size
                 for i in range(md.num_row_groups))
         n = min(n, max(1, _BYTES_CACHE[key] // tgt))
-    return df.repartition(n) if n > 1 else df
+    if n > 1:
+        # ``keys``: when the query's next operator re-shuffles by a
+        # known key anyway (window/groupBy), emulate the multi-split
+        # scan with a HASH repartition on that key — the downstream
+        # exchange then reuses the partitioning and the round-robin
+        # variant's sort-before-repartition never happens (r6, guide
+        # §2.4: two operations keyed the same way share one exchange).
+        return df.repartition(n, *keys) if keys else df.repartition(n)
+    return df
 
 
 def _cust_points(spark, sf_dir) -> DataFrame:
@@ -242,7 +251,7 @@ def q_buffer_contains(spark, sf_dir):
 def q_events_topk(spark, sf_dir):
     """Window top-k plumbing (SURVEY.md §2.10 note): top-3 events per
     user by value, deterministic tie-break."""
-    e = _load(spark, sf_dir, "events")
+    e = _load(spark, sf_dir, "events", keys=["user_id"])
     w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id").asc())
     return (e.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 3)
             .select("user_id", "event_id", "rk"))
@@ -251,7 +260,7 @@ def q_events_topk(spark, sf_dir):
 def q_events_sessionize(spark, sf_dir):
     """Sessionization: 30-minute-gap sessions per user (stateful
     batch analogue of streaming session windows)."""
-    e = _load(spark, sf_dir, "events")
+    e = _load(spark, sf_dir, "events", keys=["user_id"])
     w = Window.partitionBy("user_id").orderBy("ts")
     sec = F.col("ts").cast("timestamp").cast("double")  # parquet ts is NTZ
     gap = sec - F.lag(sec).over(w)
