@@ -48,6 +48,19 @@ BOX_Y0 = "((CAST(FLOOR(n_nationkey/5.0) AS BIGINT) % 5)*36.0 - 90.0)"
 
 _BYTES_CACHE: dict[tuple[str, str], int] = {}
 
+# Default spread keys for the bench's multi-split emulation (r6): a
+# deterministic HASH repartition on a table key spreads rows exactly
+# like round-robin but needs no sort-before-repartition (the local
+# sort keyless repartition pays for retry determinism, guide §2.5),
+# and queries that later shuffle by the same key (events window)
+# reuse the exchange outright.
+_TABLE_KEYS: dict[str, list[str]] = {
+    "customer": ["c_custkey"], "supplier": ["s_suppkey"],
+    "documents": ["doc_id"], "events": ["user_id"],
+    "embeddings": ["vec_id"], "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey"], "part": ["p_partkey"],
+}
+
 
 def _load(spark: SparkSession, sf_dir: str, name: str,
           keys: list[str] | None = None) -> DataFrame:
@@ -95,6 +108,7 @@ def _load(spark: SparkSession, sf_dir: str, name: str,
         # exchange then reuses the partitioning and the round-robin
         # variant's sort-before-repartition never happens (r6, guide
         # §2.4: two operations keyed the same way share one exchange).
+        keys = keys if keys is not None else _TABLE_KEYS.get(name)
         return df.repartition(n, *keys) if keys else df.repartition(n)
     return df
 
