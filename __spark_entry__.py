@@ -57,8 +57,11 @@ _BYTES_CACHE: dict[tuple[str, str], int] = {}
 _TABLE_KEYS: dict[str, list[str]] = {
     "customer": ["c_custkey"], "supplier": ["s_suppkey"],
     "documents": ["doc_id"], "events": ["user_id"],
-    "embeddings": ["vec_id"], "lineitem": ["l_orderkey"],
+    "lineitem": ["l_orderkey"],
     "orders": ["o_orderkey"], "part": ["p_partkey"],
+    # embeddings deliberately stays round-robin: hash-by-vec_id
+    # measured 2x SLOWER on ann_topk (1.06s vs 0.46s isolated) —
+    # the cross-join probe side is distribution-sensitive here.
 }
 
 
@@ -197,10 +200,11 @@ def q_dwithin_join(spark, sf_dir):
     ship_package(spark)
     pts = _cust_points(spark, sf_dir)
     supp = _supp_points(spark, sf_dir).select(
-        F.col("s_suppkey").alias("right_id"), F.col("point").alias("geom"))
+        F.col("s_suppkey").alias("right_id"), "lon", "lat")
     j = SJ.broadcast_lonlat_join(pts, supp, lon="lon", lat="lat",
                                  predicate="dwithin", distance=DWITHIN_D,
-                                 right_id="right_id", keep=["c_custkey"])
+                                 right_id="right_id", keep=["c_custkey"],
+                                 right_lon="lon", right_lat="lat")
     return j.select("c_custkey", F.col("right_id").alias("s_suppkey"))
 
 
@@ -210,9 +214,10 @@ def q_knn_nearest(spark, sf_dir):
     ship_package(spark)
     pts = _cust_points(spark, sf_dir)
     supp = _supp_points(spark, sf_dir).select(
-        F.col("s_suppkey").alias("right_id"), F.col("point").alias("geom"))
+        F.col("s_suppkey").alias("right_id"), "lon", "lat")
     nn = SK.nearest_lonlat(pts, supp, lon="lon", lat="lat",
-                           right_id="right_id", keep=["c_custkey"])
+                           right_id="right_id", keep=["c_custkey"],
+                           right_lon="lon", right_lat="lat")
     return nn.select("c_custkey", F.col("right_id").alias("s_suppkey"),
                      F.round("distance", 6).alias("dist_r"))
 

@@ -186,6 +186,9 @@ def _tree_point_coords(tree: STRtree):
     broadcast-deserialized) tree object.  Point items have degenerate
     envelopes, so the coordinates are the boxes' min corners — no
     geometry walk needed beyond the one-time type check."""
+    if getattr(tree, "_points_only", False):
+        return ((tree._boxes[:, 0], tree._boxes[:, 1])
+                if len(tree._idx) else None)
     cached = getattr(tree, "_point_coords_cache", None)
     if cached is not None:
         return cached[0]
@@ -353,21 +356,40 @@ def broadcast_lonlat_join(left: DataFrame, right: DataFrame, *,
                           distance: float | None = None,
                           cell_res: int | None = None,
                           keep: list[str] | None = None,
-                          max_right_rows: int | None = None) -> DataFrame:
+                          max_right_rows: int | None = None,
+                          right_lon: str | None = None,
+                          right_lat: str | None = None) -> DataFrame:
     """Point-probe join straight from lon/lat DOUBLE columns — the
     minimal-data-movement plan for the pages pipeline: only the
     numeric columns named in ``keep`` (+ lon/lat) cross the Python
     boundary, WKB encoding is skipped entirely, and the cell id is
     computed in the same crossing (``cell_res``).
 
+    ``right_lon``/``right_lat`` (r6): when the RIGHT side is also
+    points, collect its coordinate doubles instead of WKB — the
+    broadcast then carries three numpy arrays, not a list of Python
+    geometry objects, which removes the per-query job that evaluated
+    st_point and the 10k-object pickle from the driver path (guide §5:
+    the driver should do almost no data work).
+
     Output: keep columns + [cell] + right_id.  At 10^12 rows this is
     the plan that matters: one Arrow roundtrip of ~16 bytes/row."""
-    rows = _collect_right(right, [right_id, right_geom],
-                          max_right_rows or BROADCAST_RIGHT_LIMIT,
-                          "broadcast_lonlat_join")
-    ids = np.asarray([r[0] for r in rows], dtype=np.int64)
-    geoms = [SG._loads_safe(r[1]) for r in rows]
-    tree = STRtree(geoms)
+    limit = max_right_rows or BROADCAST_RIGHT_LIMIT
+    if right_lon is not None:
+        rows = _collect_right(right, [right_id, right_lon, right_lat],
+                              limit, "broadcast_lonlat_join")
+        ids = np.asarray([r[0] for r in rows], dtype=np.int64)
+        rx = np.fromiter((np.nan if r[1] is None else r[1]
+                          for r in rows), np.float64, count=len(rows))
+        ry = np.fromiter((np.nan if r[2] is None else r[2]
+                          for r in rows), np.float64, count=len(rows))
+        tree = STRtree.from_points(rx, ry)
+    else:
+        rows = _collect_right(right, [right_id, right_geom], limit,
+                              "broadcast_lonlat_join")
+        ids = np.asarray([r[0] for r in rows], dtype=np.int64)
+        geoms = [SG._loads_safe(r[1]) for r in rows]
+        tree = STRtree(geoms)
     bc = left.sparkSession.sparkContext.broadcast((tree, ids))
     keep = keep or []
     cols = keep + [lon, lat]

@@ -61,6 +61,27 @@ class STRtree:
         self._boxes = np.asarray(boxes, dtype=np.float64).reshape(-1, 4)
         self._build()
 
+    @classmethod
+    def from_points(cls, xs, ys, leafsize: int = 10) -> "STRtree":
+        """Point-only tree straight from coordinate arrays (r6): no
+        Geom objects are created OR pickled into the broadcast — the
+        item envelopes are the degenerate per-point boxes.  NaN rows
+        are dropped with their index preserved, exactly like None/empty
+        geometries in the generic constructor.  ``_geoms`` is None;
+        only the vectorized point probe paths may be used."""
+        t = cls.__new__(cls)
+        t.leafsize = max(2, int(leafsize))
+        xs = np.asarray(xs, dtype=np.float64)
+        ys = np.asarray(ys, dtype=np.float64)
+        keep = ~(np.isnan(xs) | np.isnan(ys))
+        t._idx = np.nonzero(keep)[0].astype(np.int64)
+        t._boxes = np.column_stack([xs[keep], ys[keep],
+                                    xs[keep], ys[keep]])
+        t._geoms = None
+        t._points_only = True
+        t._build()
+        return t
+
     def __len__(self):
         return len(self._idx)  # count of indexed geoms (strtree.py:62)
 

@@ -276,6 +276,8 @@ def nearest_all_lonlat(left: DataFrame, right: DataFrame, *,
                        max_distance: float | None = None,
                        keep: list[str] | None = None,
                        max_right_rows: int | None = None,
+                       right_lon: str | None = None,
+                       right_lat: str | None = None,
                        _single: bool = False) -> DataFrame:
     """All-ties nearest straight from lon/lat DOUBLE columns — the
     broadcast_lonlat_join analogue for kNN (r6, guide §2.3/§4.1): only
@@ -286,20 +288,37 @@ def nearest_all_lonlat(left: DataFrame, right: DataFrame, *,
 
     Output: keep columns + right_id + distance.  Falls back to probing
     the STRtree with point geometries when the right side is not
-    all-points."""
+    all-points.
+
+    ``right_lon``/``right_lat`` (r6): collect the right side's
+    coordinate doubles instead of WKB — the broadcast carries numpy
+    arrays only (no tree, no Geom objects), removing the per-query
+    st_point evaluation job and the object-pickle cost from the
+    driver path."""
     from .join import BROADCAST_RIGHT_LIMIT, _collect_right
-    rows = _collect_right(right, [right_id, right_geom],
-                          max_right_rows or BROADCAST_RIGHT_LIMIT,
-                          "nearest_all_lonlat")
-    ids = np.asarray([r[0] for r in rows], dtype=np.int64)
-    geoms = [SG._loads_safe(r[1]) for r in rows]
-    tree = STRtree(geoms)
-    pts = None
-    if len(tree) and len(tree) <= 200_000 and all(
-            geoms[i].type_id == 0 for i in tree._idx):
-        txs = np.asarray([geoms[i].coords[0, 0] for i in tree._idx])
-        tys = np.asarray([geoms[i].coords[0, 1] for i in tree._idx])
-        pts = (txs, tys, tree._idx.copy())
+    limit = max_right_rows or BROADCAST_RIGHT_LIMIT
+    if right_lon is not None:
+        rows = _collect_right(right, [right_id, right_lon, right_lat],
+                              limit, "nearest_all_lonlat")
+        ids = np.asarray([r[0] for r in rows], dtype=np.int64)
+        rx = np.fromiter((np.nan if r[1] is None else r[1]
+                          for r in rows), np.float64, count=len(rows))
+        ry = np.fromiter((np.nan if r[2] is None else r[2]
+                          for r in rows), np.float64, count=len(rows))
+        kp = np.nonzero(~(np.isnan(rx) | np.isnan(ry)))[0]
+        tree = None
+        pts = (rx[kp], ry[kp], kp.astype(np.int64))
+    else:
+        rows = _collect_right(right, [right_id, right_geom], limit,
+                              "nearest_all_lonlat")
+        ids = np.asarray([r[0] for r in rows], dtype=np.int64)
+        geoms = [SG._loads_safe(r[1]) for r in rows]
+        tree = STRtree(geoms)
+        pts = None
+        if len(tree) and all(geoms[i].type_id == 0 for i in tree._idx):
+            txs = np.asarray([geoms[i].coords[0, 0] for i in tree._idx])
+            tys = np.asarray([geoms[i].coords[0, 1] for i in tree._idx])
+            pts = (txs, tys, tree._idx.copy())
     bc = left.sparkSession.sparkContext.broadcast((tree, ids, pts))
     keep = keep or []
     src = left.select(*(keep + [lon, lat]))
@@ -343,12 +362,15 @@ def nearest_lonlat(left: DataFrame, right: DataFrame, *,
                    lon: str = "lon", lat: str = "lat",
                    right_geom: str = "geom", right_id: str = "right_id",
                    max_distance: float | None = None,
-                   keep: list[str] | None = None) -> DataFrame:
+                   keep: list[str] | None = None,
+                   right_lon: str | None = None,
+                   right_lat: str | None = None) -> DataFrame:
     """nearest() from lon/lat doubles: one row per left row, lowest
     right-id tie-break inside the worker — zero exchanges, no WKB."""
     return nearest_all_lonlat(left, right, lon=lon, lat=lat,
                               right_geom=right_geom, right_id=right_id,
                               max_distance=max_distance, keep=keep,
+                              right_lon=right_lon, right_lat=right_lat,
                               _single=True)
 
 
