@@ -52,10 +52,16 @@ from datetime import datetime, timezone
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 N_PAGES = 24_000_000
-LEVELS = (4, 16)
-RUNS = {4: 2, 16: 4}  # timed runs per level per pass (after 2 warmups);
-                      # the 16-core leg is cheap and stall-exposed, so it
-                      # gets more shots at a clean window per pass
+# Level pair overridable via SPARK_GRAFT_SCALING_LEVELS="2,8" (r6,
+# VERDICT r5 item 2 option b: any unoversubscribed N vs 4N pair with
+# the same stall protocol qualifies); default stays local[4]/local[16].
+LEVELS = tuple(int(v) for v in os.environ.get(
+    "SPARK_GRAFT_SCALING_LEVELS", "4,16").split(","))
+assert len(LEVELS) == 2 and LEVELS[1] == 4 * LEVELS[0], LEVELS
+RUNS = {LEVELS[0]: 2, LEVELS[1]: 4}  # timed runs per level per pass
+                      # (after 2 warmups); the big leg is cheap and
+                      # stall-exposed, so it gets more shots at a
+                      # clean window per pass
 BLOCKED_SPIKE = 4  # procs_blocked >= this during a run => stall marker
 OUTLIER = 1.4      # sec > OUTLIER * level best => stall (cross-check)
 BUSY_DROP = 0.8    # busy_frac < BUSY_DROP * level's best busy => stall
