@@ -71,3 +71,19 @@ def test_minhash_recall_vs_exact_jaccard(spark, con):
     if high:
         recall = len(high & cand) / len(high)
         assert recall >= 0.9
+
+
+def test_coverage_doc_query_names_exist():
+    """Every `query <name>` referenced in COVERAGE.md must be a real
+    entry in __spark_entry__.queries() (VERDICT r5 item 6: doc drift
+    once claimed a nonexistent oracle query)."""
+    import re
+    import __spark_entry__ as E
+    names = set(E.queries())
+    text = open(os.path.join(os.path.dirname(__file__), "..",
+                             "COVERAGE.md")).read()
+    cited = set(re.findall(r"quer(?:y|ies)\s+([a-z0-9_]+)", text))
+    # drop generic words and glob-prefix cites like "queries pip_*"
+    cited = {c for c in cited if "_" in c and not c.endswith("_")}
+    missing = sorted(c for c in cited if c not in names)
+    assert not missing, f"COVERAGE.md cites nonexistent queries: {missing}"
