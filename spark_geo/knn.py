@@ -126,6 +126,14 @@ def _nearest_all_points(xs, ys, txs, tys, tpos, max_distance):
     the former matrix path (same np.hypot, same comparisons; verified
     in tests/test_knn_grid.py)."""
     n, m = len(xs), len(txs)
+    # drop non-finite right points up front: a NaN coordinate would
+    # poison the grid extent here (and poisoned the old matrix path's
+    # row minima into dropping every result) — a point with no finite
+    # position can never be a nearest neighbor
+    finite = np.isfinite(txs) & np.isfinite(tys)
+    if not finite.all():
+        txs, tys, tpos = txs[finite], tys[finite], tpos[finite]
+        m = len(txs)
     if m == 0:
         return (np.empty(0, np.int64),) * 2 + (np.empty(0),)
     if m <= 64:

@@ -82,3 +82,24 @@ def test_empty_inputs():
     li, ri, dd = _nearest_all_points(np.array([1.0]), np.array([2.0]),
                                      e, e, ei, None)
     assert len(li) == 0
+
+
+def test_nan_right_points_ignored_not_poisoning():
+    """A right point with a NaN coordinate must be ignored (it can
+    never be nearest), not poison the grid extent or the matrix
+    minima."""
+    txs = np.array([0.0, np.nan, 2.0, 1.0])
+    tys = np.array([0.0, 1.0, np.nan, 1.0])
+    tpos = np.arange(4, dtype=np.int64)
+    xs = np.array([0.1, 1.9])
+    ys = np.array([0.0, 1.0])
+    li, ri, dd = _nearest_all_points(xs, ys, txs, tys, tpos, None)
+    assert set(zip(li.tolist(), ri.tolist())) == {(0, 0), (1, 3)}
+    # big-tree grid path with a NaN row mixed in
+    rng = np.random.RandomState(3)
+    txs = rng.uniform(-10, 10, 300)
+    tys = rng.uniform(-10, 10, 300)
+    txs[7] = np.nan
+    tpos = np.arange(300, dtype=np.int64)
+    li, ri, dd = _nearest_all_points(xs, ys, txs, tys, tpos, None)
+    assert len(li) >= 2 and 7 not in set(ri.tolist())

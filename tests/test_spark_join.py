@@ -400,3 +400,37 @@ def test_broadcast_right_side_guard(spark):
                                   left_geom="point",
                                   right_id="right_id").count()
     assert n >= 0
+
+
+def test_right_lonlat_parity_with_null_rows(spark):
+    """r6: the right_lon/right_lat collect path must produce the same
+    pairs as the WKB right side when the right table contains NULL and
+    partial coordinates."""
+    from spark_geo import join as SJ, knn as SK
+    from spark_geo import functions as SG
+    from pyspark.sql import functions as F
+    rows = [(0, 1.0, 1.0), (1, None, 2.0), (2, 3.0, None),
+            (3, None, None), (4, 2.0, 2.0), (5, 1.5, 1.2)]
+    right = spark.createDataFrame(rows, "right_id long, lon double, lat double")
+    right_wkb = right.select("right_id",
+                             SG.st_point("lon", "lat").alias("geom"))
+    left = spark.createDataFrame(
+        [(10, 1.1, 1.1), (11, 2.0, 2.0), (12, 8.0, 8.0)],
+        "left_id long, lon double, lat double")
+    a = sorted((r[0], r[1]) for r in SJ.broadcast_lonlat_join(
+        left, right, lon="lon", lat="lat", predicate="dwithin",
+        distance=1.0, right_id="right_id", keep=["left_id"],
+        right_lon="lon", right_lat="lat").collect())
+    b = sorted((r[0], r[1]) for r in SJ.broadcast_lonlat_join(
+        left, right_wkb, lon="lon", lat="lat", predicate="dwithin",
+        distance=1.0, right_id="right_id", keep=["left_id"]).collect())
+    assert a == b
+    a = sorted(tuple(r) for r in SK.nearest_lonlat(
+        left, right, lon="lon", lat="lat", right_id="right_id",
+        keep=["left_id"], right_lon="lon", right_lat="lat")
+        .select("left_id", "right_id", "distance").collect())
+    b = sorted(tuple(r) for r in SK.nearest_lonlat(
+        left, right_wkb, lon="lon", lat="lat", right_id="right_id",
+        keep=["left_id"]).select("left_id", "right_id",
+                                 "distance").collect())
+    assert a == b

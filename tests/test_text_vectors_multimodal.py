@@ -474,3 +474,47 @@ def test_tokens_explode_outer_matches_plain(spark):
                                     TX.TOKEN_PATTERN)).alias("tok"))
         .where(F.col("tok") != "").distinct().collect()))
     assert got == exp
+
+
+def test_lsh_first_band_equals_join_distinct_under_cap(spark):
+    """r6: the first-shared-band pair emission must produce EXACTLY the
+    pair set of the former per-band join + distinct formulation, both
+    uncapped and with hot-bucket drops active.  The reference pair set
+    is recomputed here from the surviving banded rows with the old
+    algorithm shape (union over bands of per-band collisions, distinct)
+    so any divergence in the null-safe first-band filter shows up."""
+    rows = [(i, "shared common tokens everywhere alpha beta gamma delta "
+             + ("" if i % 3 == 0 else f"unique{i} extra{i % 7}"))
+            for i in range(80)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    for cap in (None, 12):
+        got = {(r["da"], r["db"]) for r in TX.lsh_candidate_pairs(
+            d, n_hashes=32, bands=4, max_bucket=cap).collect()}
+        # rebuild the surviving banded rows exactly as the operator does
+        sig = TX.minhash_signatures(d, n_hashes=32)
+        bandstructs = [F.struct(F.lit(b).alias("band"),
+                                F.xxhash64(*[F.col(f"h{b * 8 + k}")
+                                             for k in range(8)])
+                                .alias("bucket")) for b in range(4)]
+        stacked = (sig.select("doc_id",
+                              F.explode(F.array(*bandstructs)).alias("bb"))
+                   .select("doc_id", "bb.band", "bb.bucket"))
+        if cap:
+            sizes = stacked.groupBy("band", "bucket") \
+                .agg(F.count(F.lit(1)).alias("n"))
+            stacked = (stacked.join(sizes, ["band", "bucket"])
+                       .where(F.col("n") <= cap)
+                       .select("doc_id", "band", "bucket"))
+        x, y = stacked.alias("x"), stacked.alias("y")
+        want = {(r["da"], r["db"]) for r in
+                (x.join(y, (F.col("x.band") == F.col("y.band"))
+                        & (F.col("x.bucket") == F.col("y.bucket"))
+                        & (F.col("x.doc_id") < F.col("y.doc_id")))
+                 .select(F.col("x.doc_id").alias("da"),
+                         F.col("y.doc_id").alias("db"))
+                 .distinct().collect())}
+        assert got == want, (cap, len(got), len(want))
+        # and no duplicates are ever emitted
+        n_rows = TX.lsh_candidate_pairs(
+            d, n_hashes=32, bands=4, max_bucket=cap).count()
+        assert n_rows == len(got)
