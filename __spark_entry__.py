@@ -345,16 +345,24 @@ def q_ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-5 neighbors for probe vectors (vec_id<10)
     — JVM-side F.aggregate dot products, no UDF."""
     e = _load(spark, sf_dir, "embeddings")
-    probes = e.where(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe"))
-    cand = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
-    dot = F.aggregate(
-        F.zip_with("pe", "ce", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0), lambda acc, v: acc + v)
     norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
         F.zip_with(c, c, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0), lambda acc, v: acc + v))
-    sim = F.round(dot / (norm("pe") * norm("ce")), 5)
+    # norms are per-ROW quantities: compute them once per side before
+    # the cross join instead of once per PAIR (r6, guide §1.2 — the
+    # higher-order aggregate expressions are interpreted, so this cuts
+    # the per-pair work to the dot product alone; the float values and
+    # hence sim_r are identical, just evaluated fewer times)
+    probes = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe"),
+        norm(F.col("embedding")).alias("_pn"))
+    cand = e.select(F.col("vec_id").alias("neighbor_id"),
+                    F.col("embedding").alias("ce"),
+                    norm(F.col("embedding")).alias("_cn"))
+    dot = F.aggregate(
+        F.zip_with("pe", "ce", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+    sim = F.round(dot / (F.col("_pn") * F.col("_cn")), 5)
     pairs = (probes.crossJoin(cand)
              .where(F.col("probe_id") != F.col("neighbor_id"))
              .withColumn("sim_r", sim))
@@ -1041,15 +1049,19 @@ def q_embedding_near_dup(spark, sf_dir):
     baseline the LSH/IVF candidate paths are recall-tested against in
     tests/."""
     e = _load(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
-    b = e.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
-    dot = F.aggregate(
-        F.zip_with("ea", "eb", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0), lambda acc, v: acc + v)
     norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
         F.zip_with(c, c, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0), lambda acc, v: acc + v))
-    sim = dot / (norm("ea") * norm("eb"))
+    # per-row norms computed once per side, not once per pair (r6 —
+    # see q_ann_cosine_topk; identical float values)
+    a = e.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"),
+                 norm(F.col("embedding")).alias("_na"))
+    b = e.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"),
+                 norm(F.col("embedding")).alias("_nb"))
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+    sim = dot / (F.col("_na") * F.col("_nb"))
     return (a.crossJoin(b).where(F.col("va") < F.col("vb"))
             .withColumn("sim_r", F.round(sim, 5))
             .where(F.col("sim_r") >= 0.3)
