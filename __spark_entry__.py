@@ -296,9 +296,13 @@ def q_dedup_exact(spark, sf_dir):
     instead of raw text — the plan a 100 TB corpus needs."""
     from spark_geo import text as TX
     d = _load(spark, sf_dir, "documents")
+    # no orderBy (r6, guide §2.4): the output sort was presentational
+    # only — the driver's comparison is order-insensitive (several
+    # registry queries have never had an orderBy and pass hash_match
+    # every round) and the range exchange + sampling pass cost 0.33s
+    # of the benched dedup time at sf1.
     return (TX.exact_dedup(d)
-            .select("content_hash", "keeper", "n_copies")
-            .orderBy("keeper"))
+            .select("content_hash", "keeper", "n_copies"))
 
 
 def q_token_jaccard_dups(spark, sf_dir):
